@@ -1,0 +1,126 @@
+"""Hierarchical spatial cell indexes, from scratch (no h3/s2sphere in the
+sandbox — SURVEY.md §7, "H3 from scratch" fallback design):
+
+- ``hex_cell``  — an H3-style hexagonal tiling: pointy-top hexes in axial
+  coordinates over (lon, lat) degree space, aperture-2 resolution ladder
+  (edge halves per res).  Res 9 edge ≈ 0.0039° ≈ 430 m, i.e. an H3-res-9
+  *equivalent* tile id with the H3 API surface (cell, parent, center).
+  True icosahedral H3 math is out of scope; self-consistency is
+  cross-checked against the independent quadtree path below.
+- ``quad_cell`` — an S2-style quadtree cell id: bit-interleaved (x, y) at a
+  given level over the equirectangular projection, with exact hierarchical
+  containment (parent = id >> 2).
+- ``square_cell`` — a flat lat/lon grid id whose formula is expressible in
+  ANSI SQL (floor arithmetic), used for the DuckDB-oracle-checked tile
+  assignment / rollup queries.
+
+All functions are vectorized numpy; they run inside ``map_batches`` fns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+HEX_BASE_EDGE_DEG = 2.0          # res-0 hex size (axial "size" parameter)
+SQUARE_CELL_DEG = 0.05           # square grid pitch for the SQL-oracle path
+_SQUARE_W = int(round(360.0 / SQUARE_CELL_DEG))  # grid width in cells
+
+_SQRT3 = np.sqrt(3.0)
+
+
+def _hex_size(res: int) -> float:
+    return HEX_BASE_EDGE_DEG / (2.0 ** res)
+
+
+def _axial_round(q: np.ndarray, r: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cube-round fractional axial coords to the containing hex center."""
+    x = q
+    z = r
+    y = -x - z
+    rx = np.rint(x)
+    ry = np.rint(y)
+    rz = np.rint(z)
+    dx = np.abs(rx - x)
+    dy = np.abs(ry - y)
+    dz = np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & (dz > dy)
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), rz.astype(np.int64)
+
+
+def _zigzag(v: np.ndarray) -> np.ndarray:
+    return np.where(v >= 0, v * 2, -v * 2 - 1).astype(np.int64)
+
+
+def _unzigzag(v: np.ndarray) -> np.ndarray:
+    return np.where(v % 2 == 0, v // 2, -(v + 1) // 2).astype(np.int64)
+
+
+def hex_cell(lat, lon, res: int = 9) -> np.ndarray:
+    """Hex tile id for points: int64 packing (res << 56 | zq << 28 | zr)."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    s = _hex_size(res)
+    q = (_SQRT3 / 3.0 * lon - lat / 3.0) / s
+    r = (2.0 / 3.0 * lat) / s
+    iq, ir = _axial_round(q, r)
+    return (np.int64(res) << np.int64(56)) | (_zigzag(iq) << np.int64(28)) | _zigzag(ir)
+
+
+def hex_cell_center(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(lat, lon) center of hex cells (inverse of the axial transform)."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = (cell >> np.int64(56)).astype(np.int64)
+    iq = _unzigzag((cell >> np.int64(28)) & np.int64((1 << 28) - 1))
+    ir = _unzigzag(cell & np.int64((1 << 28) - 1))
+    s = HEX_BASE_EDGE_DEG / (2.0 ** res)
+    # invert: q = (sqrt3/3*lon - lat/3)/s, r = (2/3*lat)/s
+    # => lat = 1.5*r*s ; lon = sqrt3*(q + r/2)*s
+    lat = 1.5 * ir * s
+    lon = _SQRT3 * (iq + ir / 2.0) * s
+    return lat, lon
+
+
+def hex_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """Approximate parent: re-index the cell center at a coarser res.
+    Aperture-2 hexes do not nest exactly (documented limitation; the
+    quadtree path provides exact containment when needed)."""
+    lat, lon = hex_cell_center(cell)
+    return hex_cell(lat, lon, parent_res)
+
+
+def quad_cell(lat, lon, level: int = 18) -> np.ndarray:
+    """S2-style quadtree id: interleave bits of (x, y) grid coords at
+    ``level`` over the equirectangular projection; level in the top 6 bits.
+    Exact hierarchy: ``quad_parent`` strips one level."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = np.int64(1) << np.int64(level)
+    x = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, int(n) - 1)
+    y = np.clip(((lat + 90.0) / 180.0 * n).astype(np.int64), 0, int(n) - 1)
+    code = np.zeros(len(x) if x.ndim else (), dtype=np.int64)
+    for b in range(level):
+        code |= ((x >> np.int64(b)) & np.int64(1)) << np.int64(2 * b)
+        code |= ((y >> np.int64(b)) & np.int64(1)) << np.int64(2 * b + 1)
+    return (np.int64(level) << np.int64(56)) | code
+
+
+def quad_parent(cell: np.ndarray) -> np.ndarray:
+    cell = np.asarray(cell, dtype=np.int64)
+    level = (cell >> np.int64(56)).astype(np.int64)
+    code = cell & np.int64((1 << 56) - 1)
+    return ((level - 1) << np.int64(56)) | (code >> np.int64(2))
+
+
+def square_cell(lat, lon, pitch_deg: float = SQUARE_CELL_DEG) -> np.ndarray:
+    """SQL-expressible grid id:
+    ``floor((lat+90)/pitch) * (360/pitch) + floor((lon+180)/pitch)``.
+    The DuckDB oracle reproduces this formula verbatim."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    w = int(round(360.0 / pitch_deg))
+    y = np.floor((lat + 90.0) / pitch_deg).astype(np.int64)
+    x = np.floor((lon + 180.0) / pitch_deg).astype(np.int64)
+    return y * np.int64(w) + x
