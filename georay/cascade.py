@@ -1,0 +1,413 @@
+"""The clean-and-retry geocoding cascade, batch-local.
+
+This is the engine's core operator: the whole 10-step cascade of
+/root/reference/utils.py:1195-1279 (``process_addresses``) executes inside
+ONE ``map_batches`` actor stage per batch — anti-joins between steps are
+boolean masks, candidate explode + re-attach never leave the batch
+(SURVEY.md §2.4: no shuffle needed), and the gazetteer/parser state is
+built once per actor process.
+
+Step internals mirror ``transform_and_process`` (utils.py:589-688),
+``process_osm`` (utils.py:303-441), ``osm_parse_and_split``
+(utils.py:443-539), ``add_addr_out_columns`` (utils.py:543-579),
+``retry_with_low_place_rank`` (utils.py:225-299), and ``match_parent``
+(check_result_utils.py:560-644).
+
+Deviation from the reference (documented): ``output.other`` joins the
+leftover address values in SORTED order — the reference joins a Python
+set (utils.py:568-574), whose order is hash-randomized across processes;
+sorting makes distributed runs deterministic.  The street comparator
+splits on " - " and takes a max, so scores are unaffected.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .compare import keep_bests
+from .config import (ADDR_KEY, C_SIM_CITY, C_SIM_HOUSENBR, C_SIM_POSTCODE,
+                     C_SIM_STREET, C_SIM_STREET_WHICH, CITY, COUNTRY,
+                     DROP_ADDR_ITEMS, HOUSENBR, INPUT_FIELDS, M_CLEANSED_HN,
+                     M_DIST_TO_MATCH, M_METHOD, M_OSM_ORDER, M_PLACE_ID,
+                     M_PLACE_RANK, M_REJECT_REASON, M_TRANSFORMED, O_CITY,
+                     O_COUNTRY, O_DISPLAY, O_HOUSENBR, O_IN_HOUSENBR,
+                     O_LAT, O_LON, O_LPOST_HN, O_LPOST_UNIT, O_OTHER,
+                     O_POSTCODE, O_STREET, POSTCODE, STATUS, STREET,
+                     PipelineConfig)
+from .gazetteer import GazetteerSpec, get_gazetteer
+from .geom import haversine_km
+from .parser import AddressParser
+from .transforms import apply_transformers, assemble_full_address
+
+_COLLAPSE_STREET = ["road", "pedestrian", "footway", "cycleway", "path",
+                    "address27", "construction", "hamlet", "park", "square"]
+_COLLAPSE_CITY = ["town", "village", "city_district", "county", "city"]
+
+# fixed output schema (SURVEY.md §1.4: fixed Arrow schema, open-ended tail
+# collapsed into o_other)
+RESULT_COLUMNS: dict[str, object] = {
+    ADDR_KEY: "", STREET: "", HOUSENBR: "", POSTCODE: "", CITY: "",
+    COUNTRY: "", STATUS: "", M_METHOD: "", M_TRANSFORMED: "",
+    M_OSM_ORDER: -1, M_PLACE_RANK: -1, M_PLACE_ID: -1,
+    M_REJECT_REASON: "", M_DIST_TO_MATCH: np.nan, M_CLEANSED_HN: False,
+    O_STREET: "", O_HOUSENBR: "", O_POSTCODE: "", O_CITY: "", O_COUNTRY: "",
+    O_OTHER: "", O_DISPLAY: "", O_LAT: np.nan, O_LON: np.nan,
+    O_IN_HOUSENBR: "", O_LPOST_HN: "", O_LPOST_UNIT: "",
+    C_SIM_STREET: np.nan, C_SIM_HOUSENBR: np.nan, C_SIM_POSTCODE: np.nan,
+    C_SIM_CITY: np.nan, C_SIM_STREET_WHICH: "",
+}
+
+_FLOAT_COLS = {M_DIST_TO_MATCH, O_LAT, O_LON, C_SIM_STREET, C_SIM_HOUSENBR,
+               C_SIM_POSTCODE, C_SIM_CITY}
+_INT_COLS = {M_OSM_ORDER, M_PLACE_RANK, M_PLACE_ID}
+_BOOL_COLS = {M_CLEANSED_HN}
+
+
+def _coalesce_from_dict(addr: dict, keys: list[str]) -> str | None:
+    for k in keys:
+        v = addr.get(k)
+        if v is not None and v == v:
+            return v
+    return None
+
+
+def _explode_candidates(uniq_addrs: list[str], gazetteer, cfg: PipelineConfig
+                        ) -> pd.DataFrame:
+    """Per unique transformed address: geocode, explode candidate list to
+    rows, derive o_* columns (osm_parse_and_split + add_addr_out_columns,
+    utils.py:443-579)."""
+    rows = []
+    for addr in uniq_addrs:
+        results = gazetteer.search(addr, limit=cfg.max_results,
+                                   namedetails=cfg.check_results)
+        for order, r in enumerate(results):
+            address = r.get("address", {})
+            nd = r.get("namedetails") or {}
+            # namedetails only kept for highways (utils.py:513-514)
+            namedetails = (" - ".join(nd.values())
+                           if r.get("category") == "highway" else "")
+            o_street = _coalesce_from_dict(address, _COLLAPSE_STREET)
+            o_city = _coalesce_from_dict(address, _COLLAPSE_CITY)
+            o_hn = address.get("house_number")
+            o_country = address.get("country")
+            o_pc = address.get("postcode")
+            picked = {o_street, o_city, o_hn, o_country, o_pc}
+            other = sorted({v for k, v in address.items()
+                            if k not in DROP_ADDR_ITEMS and v is not None
+                            and v not in picked})
+            rows.append({
+                M_TRANSFORMED: addr, M_OSM_ORDER: order,
+                "n_place_id": int(r["place_id"]),
+                "n_place_rank": int(r["place_rank"]),
+                "n_lat": float(r["lat"]), "n_lon": float(r["lon"]),
+                "n_display_name": r.get("display_name", ""),
+                "n_category": r.get("category", ""),
+                "n_namedetails": namedetails,
+                O_STREET: o_street, O_CITY: o_city, O_HOUSENBR: o_hn,
+                O_COUNTRY: o_country, O_POSTCODE: o_pc,
+                O_OTHER: " - ".join(other),
+                O_DISPLAY: r.get("display_name", ""),
+                O_LAT: float(r["lat"]), O_LON: float(r["lon"]),
+            })
+    cols = [M_TRANSFORMED, M_OSM_ORDER, "n_place_id", "n_place_rank",
+            "n_lat", "n_lon", "n_display_name", "n_category",
+            "n_namedetails", O_STREET, O_CITY, O_HOUSENBR, O_COUNTRY,
+            O_POSTCODE, O_OTHER, O_DISPLAY, O_LAT, O_LON]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _match_parent(results: pd.DataFrame, rejects: pd.DataFrame, gazetteer,
+                  cfg: PipelineConfig) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Parent-place rescue for mismatch rejects of unmatched addresses
+    (check_result_utils.py:560-644): street (highway) parents only, alt
+    names exploded and re-validated."""
+    if rejects.shape[0] == 0:
+        return results, rejects
+    cand = rejects[(rejects[M_REJECT_REASON] == "mismatch")
+                   & (~rejects[ADDR_KEY].isin(results[ADDR_KEY]))]
+    if cand.shape[0] == 0:
+        return results, rejects
+    alt_rows = []
+    for idx, row in cand.iterrows():
+        det = gazetteer.details(row["n_place_id"])
+        parent_id = det.get("parent_place_id", 0)
+        if not parent_id:
+            continue
+        pdet = gazetteer.details(parent_id)
+        if pdet.get("category") != "highway":
+            continue
+        for lang, alt in pdet.get("names", {}).items():
+            if alt == row[O_STREET]:
+                continue  # alt equal to street name adds nothing (:617)
+            r = row.drop(labels=[M_REJECT_REASON]).to_dict()
+            r["n_alt_name"] = alt
+            r["_src_index"] = idx
+            alt_rows.append(r)
+    if not alt_rows:
+        return results, rejects
+    alts = pd.DataFrame(alt_rows)
+    keep, _ = keep_bests(
+        alts, street_cols_a=["n_alt_name"], housenbr_col_a=O_HOUSENBR,
+        postcode_col_a=O_POSTCODE, city_col_a=O_CITY,
+        street_col_b=STREET, housenbr_col_b=HOUSENBR,
+        postcode_col_b=POSTCODE, city_col_b=CITY,
+        secondary_sort_col=M_OSM_ORDER, threshold=cfg.similarity_threshold)
+    if keep.shape[0] == 0:
+        return results, rejects
+    keep = keep.drop(columns=["n_alt_name", "_src_index"])
+    results = pd.concat([results, keep], sort=False)
+    saved = set(zip(keep[ADDR_KEY], keep["n_place_id"]))
+    mask = [(k, p) in saved for k, p in
+            zip(rejects[ADDR_KEY], rejects["n_place_id"])]
+    rejects = rejects[~np.array(mask)]
+    return results, rejects
+
+
+def _process_osm(sent: pd.DataFrame, gazetteer, cfg: PipelineConfig,
+                 check_results: bool) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Geocode + explode + validate-or-head(1) (utils.py:303-441)."""
+    empty = pd.DataFrame(columns=list(sent.columns) + [M_REJECT_REASON])
+    if sent.shape[0] == 0:
+        return empty, empty
+    uniq = sent[M_TRANSFORMED].drop_duplicates().tolist()
+    cands = _explode_candidates(uniq, gazetteer, cfg)
+    osm = sent.merge(cands, on=M_TRANSFORMED)
+    if osm.shape[0] == 0:
+        return empty, empty
+    if check_results:
+        keep, reject = keep_bests(
+            osm, street_cols_a=[O_STREET, O_OTHER, "n_namedetails"],
+            housenbr_col_a=O_HOUSENBR, postcode_col_a=O_POSTCODE,
+            city_col_a=O_CITY, street_col_b=STREET,
+            housenbr_col_b=HOUSENBR, postcode_col_b=POSTCODE,
+            city_col_b=CITY, secondary_sort_col=M_OSM_ORDER,
+            threshold=cfg.similarity_threshold)
+        if cfg.use_osm_parent:
+            keep, reject = _match_parent(keep, reject, gazetteer, cfg)
+    else:
+        keep = osm.groupby(ADDR_KEY, sort=False).head(1).copy()
+        reject = osm[~osm.index.isin(keep.index)].copy()
+        reject[M_REJECT_REASON] = "tail"
+    return keep, reject
+
+
+def _retry_low_place_rank(results: pd.DataFrame, sent: pd.DataFrame,
+                          gazetteer, cfg: PipelineConfig,
+                          check_results: bool) -> pd.DataFrame:
+    """Strip the house number to leading digits and re-geocode results with
+    place_rank < 30; keep retries that reach rank 30
+    (utils.py:225-299)."""
+    low = results[results["n_place_rank"] < 30]
+    if low.shape[0] == 0:
+        return results
+    retry = low[[ADDR_KEY]].merge(sent, on=ADDR_KEY)
+    hn = retry[HOUSENBR].fillna("").astype(str)
+    retry = retry[~hn.str.match(r"^[0-9]*$")]
+    if retry.shape[0] == 0:
+        return results
+    retry = retry.copy()
+    retry[HOUSENBR] = (retry[HOUSENBR].fillna("").astype(str)
+                       .str.extract(r"^([0-9]+)")[0].fillna(""))
+    retry[M_TRANSFORMED] = assemble_full_address(retry)
+    keep, _ = _process_osm(retry, gazetteer, cfg, check_results)
+    if keep.shape[0] == 0:
+        return results
+    keep = keep[keep["n_place_rank"] == 30].copy()
+    if keep.shape[0] == 0:
+        return results
+    keep[M_CLEANSED_HN] = True
+    return pd.concat([results[~results[ADDR_KEY].isin(keep[ADDR_KEY])], keep],
+                     sort=False)
+
+
+def _transform_and_process(chunk: pd.DataFrame, transformers: list[str],
+                           gazetteer, parser, cfg: PipelineConfig
+                           ) -> tuple[pd.DataFrame, pd.DataFrame, dict]:
+    """One cascade step (utils.py:589-688)."""
+    method = "+".join(transformers)
+    stats = {"method": method, "todo": int(chunk.shape[0]), "sent": 0,
+             "match": 0, "reject_rec": 0}
+    empty = pd.DataFrame(columns=[ADDR_KEY])
+    if chunk.shape[0] == 0:
+        return empty, empty, stats
+    transformed = apply_transformers(chunk, transformers, parser, gazetteer, cfg)
+    if transformed.shape[0] == 0:
+        return empty, empty, stats
+    transformed = transformed.copy()
+    transformed[M_TRANSFORMED] = assemble_full_address(transformed)
+    if cfg.check_with_transformed:
+        sent = transformed
+    else:
+        sent = transformed[[M_TRANSFORMED, ADDR_KEY]].merge(
+            chunk, on=ADDR_KEY)
+    stats["sent"] = int(sent.shape[0])
+    results, rejected = _process_osm(sent, gazetteer, cfg, cfg.check_results)
+    if cfg.with_cleansed_number_on_26 and results.shape[0] > 0:
+        results = _retry_low_place_rank(results, sent, gazetteer, cfg,
+                                        cfg.check_results)
+    results = results.copy()
+    results[M_METHOD] = method
+    rejected = rejected.copy()
+    rejected[M_METHOD] = method
+    stats["match"] = int(results.shape[0])
+    stats["reject_rec"] = int(rejected.shape[0])
+    return results, rejected, stats
+
+
+def _extra_house_number(df: pd.DataFrame, parser) -> pd.DataFrame:
+    """libpostal house-number extraction for matched rows
+    (utils.py:783-846): o_in_house_number = input housenumber,
+    o_lpost_house_number / o_lpost_unit from parsing
+    'street hn, pc city'."""
+    if df.shape[0] == 0:
+        return df
+    df = df.copy()
+    df[O_IN_HOUSENBR] = df[HOUSENBR].fillna("").astype(str)
+    full = (df[STREET].fillna("").astype(str) + " "
+            + df[HOUSENBR].fillna("").astype(str) + ", "
+            + df[POSTCODE].fillna("").astype(str) + " "
+            + df[CITY].fillna("").astype(str)).str.strip()
+
+    def _hn(s):
+        try:
+            pairs = parser.parse(s)
+            return (";".join(v for v, l in pairs if l == "house_number"),
+                    ";".join(v for v, l in pairs if l == "unit"))
+        except Exception:
+            err = "error during Libpostal processing"  # utils.py:806-807
+            return (err, err)
+
+    vals = [_hn(s) for s in full]
+    df[O_LPOST_HN] = [v[0] for v in vals]
+    df[O_LPOST_UNIT] = [v[1] for v in vals]
+    return df
+
+
+def _finalize(df: pd.DataFrame, extra_cols: list[str]) -> pd.DataFrame:
+    """Project to the fixed result schema with stable dtypes."""
+    out = pd.DataFrame(index=df.index)
+    for col, default in RESULT_COLUMNS.items():
+        if col in df.columns:
+            v = df[col]
+            if col in _FLOAT_COLS:
+                out[col] = pd.to_numeric(v, errors="coerce").astype(np.float64)
+            elif col in _INT_COLS:
+                out[col] = pd.to_numeric(v, errors="coerce").fillna(-1).astype(np.int64)
+            elif col in _BOOL_COLS:
+                out[col] = v.astype(object).apply(lambda x: bool(x) if x == x and x is not None else False).astype(bool)
+            else:
+                out[col] = v.astype(object).where(pd.notnull(v), None)
+                out[col] = out[col].fillna("").astype(str)
+        else:
+            if col in _FLOAT_COLS:
+                out[col] = np.float64(default)
+            elif col in _INT_COLS:
+                out[col] = np.int64(default)
+            elif col in _BOOL_COLS:
+                out[col] = bool(default)
+            else:
+                out[col] = str(default)
+    for col in extra_cols:
+        out[col] = df[col] if col in df.columns else None
+    return out
+
+
+def process_addresses_df(df: pd.DataFrame, gazetteer, parser,
+                         cfg: PipelineConfig) -> pd.DataFrame:
+    """Full cascade over one batch of addresses → fixed-schema frame with
+    one row per match/reject plus 'unmatched' stubs
+    (utils.py:1195-1279)."""
+    base_cols = [ADDR_KEY] + INPUT_FIELDS
+    extra_cols = [c for c in df.columns if c not in base_cols]
+    inputs = df[base_cols].copy()
+    for c in base_cols:
+        inputs[c] = inputs[c].fillna("").astype(str)
+
+    chunk = inputs
+    matches = []
+    rejects = []
+    for transformers in cfg.cascade:
+        try:
+            res, rej, _stats = _transform_and_process(
+                chunk, transformers, gazetteer, parser, cfg)
+        except Exception as exc:  # step failure labels, never kills (utils.py:1255-1261)
+            res = chunk[[ADDR_KEY]].copy()
+            res[M_METHOD] = "error on " + "+".join(transformers) + f": {type(exc).__name__}"
+            rej = pd.DataFrame(columns=[ADDR_KEY])
+        if res.shape[0] > 0:
+            matches.append(res)
+        if rej.shape[0] > 0:
+            rejects.append(rej)
+        matched_keys = res[ADDR_KEY] if res.shape[0] else pd.Series([], dtype=object)
+        chunk = chunk[~chunk[ADDR_KEY].isin(matched_keys)]
+        if chunk.shape[0] == 0:
+            break
+
+    match_df = (pd.concat(matches, sort=False).drop_duplicates(
+        subset=[ADDR_KEY]) if matches else pd.DataFrame(columns=[ADDR_KEY]))
+    rej_df = (pd.concat(rejects, sort=False) if rejects
+              else pd.DataFrame(columns=[ADDR_KEY]))
+
+    # restore original input columns (utils.py:1271)
+    match_df = match_df.drop(columns=[c for c in INPUT_FIELDS
+                                      if c in match_df.columns])
+    match_df = match_df.merge(inputs[base_cols], on=ADDR_KEY, how="left")
+    if cfg.with_extra_house_number and match_df.shape[0] > 0:
+        match_df = _extra_house_number(match_df, parser)
+
+    # reject → distance to that address's match (utils.py:1080-1093)
+    if rej_df.shape[0] > 0 and "n_lat" in rej_df.columns and "n_lat" in match_df.columns:
+        m = match_df[[ADDR_KEY, "n_lat", "n_lon"]].rename(
+            columns={"n_lat": "_mlat", "n_lon": "_mlon"})
+        rej_df = rej_df.merge(m, on=ADDR_KEY, how="left")
+        ok = rej_df["_mlat"].notna() & rej_df["n_lat"].notna()
+        d = np.full(len(rej_df), np.nan)
+        if ok.any():
+            d[ok.to_numpy()] = np.round(haversine_km(
+                rej_df.loc[ok, "n_lat"], rej_df.loc[ok, "n_lon"],
+                rej_df.loc[ok, "_mlat"], rej_df.loc[ok, "_mlon"]), 3)
+        rej_df[M_DIST_TO_MATCH] = d
+
+    match_df[M_PLACE_ID] = match_df.get("n_place_id", pd.Series(dtype=float))
+    match_df[M_PLACE_RANK] = match_df.get("n_place_rank", pd.Series(dtype=float))
+    match_df[STATUS] = "match"
+    if rej_df.shape[0] > 0:
+        rej_df[M_PLACE_ID] = rej_df.get("n_place_id", pd.Series(dtype=float))
+        rej_df[M_PLACE_RANK] = rej_df.get("n_place_rank", pd.Series(dtype=float))
+        rej_df[STATUS] = "reject"
+        rej_df = rej_df.drop(columns=[c for c in INPUT_FIELDS
+                                      if c in rej_df.columns])
+        rej_df = rej_df.merge(inputs[base_cols], on=ADDR_KEY, how="left")
+
+    unmatched = inputs[~inputs[ADDR_KEY].isin(match_df[ADDR_KEY])].copy()
+    unmatched[STATUS] = "unmatched"
+
+    parts = [p for p in (match_df, rej_df, unmatched) if p.shape[0] > 0]
+    if not parts:
+        return _finalize(pd.DataFrame(columns=base_cols), [])
+    allrows = pd.concat(parts, sort=False, ignore_index=True)
+    out = _finalize(allrows, [])
+    if extra_cols:
+        out = out.merge(df[[ADDR_KEY] + extra_cols].drop_duplicates(
+            subset=[ADDR_KEY]), on=ADDR_KEY, how="left")
+    return out
+
+
+class CascadeGeocoder:
+    """Actor-pool callable for ``map_batches``: gazetteer + parser built
+    once per actor process (``get_gazetteer`` is process-cached), the full
+    cascade applied per batch (SURVEY.md §2.3)."""
+
+    def __init__(self, spec: GazetteerSpec | None = None,
+                 cfg: PipelineConfig | None = None):
+        self.spec = spec or GazetteerSpec()
+        self.cfg = cfg or PipelineConfig()
+        self.gazetteer = get_gazetteer(self.spec)
+        self.parser = AddressParser()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        out = process_addresses_df(df, self.gazetteer, self.parser, self.cfg)
+        return pa.Table.from_pandas(out, preserve_index=False)

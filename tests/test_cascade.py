@@ -1,0 +1,163 @@
+"""Cascade semantics tests: transformer steps, changed-only filter,
+keep-best labeling, low-rank retry, parent rescue, method labels
+(SURVEY.md §3.1 traced behaviors).  Pure batch-local — no Ray needed."""
+
+import pandas as pd
+import pytest
+
+from georay.cascade import process_addresses_df
+from georay.config import (ADDR_KEY, CITY, COUNTRY, HOUSENBR, POSTCODE,
+                           STREET, PipelineConfig)
+from georay.corpus import make_addresses
+from georay.gazetteer import GazetteerSpec, get_gazetteer
+from georay.parser import AddressParser
+from georay.transforms import apply_transformers, clean_addr_in
+
+
+@pytest.fixture(scope="module")
+def world():
+    spec = GazetteerSpec()
+    return spec, get_gazetteer(spec), AddressParser(), PipelineConfig()
+
+
+def _addr(key, street, hn, pc, city, country="Belgium"):
+    return {ADDR_KEY: key, STREET: street, HOUSENBR: hn, POSTCODE: pc,
+            CITY: city, COUNTRY: country}
+
+
+def _run(world, rows):
+    spec, gaz, parser, cfg = world
+    return process_addresses_df(pd.DataFrame(rows), gaz, parser, cfg)
+
+
+def test_clean_addr_in():
+    # utils.py:107-131 examples
+    assert clean_addr_in("Avenue Fonsny, , , , ") == "Avenue Fonsny"
+    assert clean_addr_in("Avenue Fonsny, , 1060, , ") == "Avenue Fonsny, 1060"
+    assert clean_addr_in(", , x") == "x"
+
+
+def test_changed_only_filter(world):
+    spec, gaz, parser, cfg = world
+    df = pd.DataFrame([_addr("1", "Avenue Fonsny", "20", "1060", "Bruxelles")])
+    # nonum blanks the housenumber -> changed -> kept
+    out = apply_transformers(df, ["nonum"], parser, gaz, cfg)
+    assert len(out) == 1 and out.iloc[0][HOUSENBR] == ""
+    # nonum on an already-empty housenumber -> unchanged -> dropped
+    df2 = pd.DataFrame([_addr("1", "Avenue Fonsny", "", "1060", "Bruxelles")])
+    out2 = apply_transformers(df2, ["nonum"], parser, gaz, cfg)
+    assert len(out2) == 0
+    # orig passes everything through
+    assert len(apply_transformers(df, ["orig"], parser, gaz, cfg)) == 1
+
+
+def test_clean_address_matches_at_orig(world):
+    spec, gaz, parser, cfg = world
+    st = gaz.places[gaz.places.place_rank == 26].iloc[0]
+    out = _run(world, [_addr("k1", st["name"], "4", st["post_code"],
+                             st["post_name"])])
+    m = out[out.status == "match"]
+    assert len(m) == 1
+    assert m.iloc[0]["m_method"] == "orig"
+    assert m.iloc[0]["m_place_rank"] == 30       # building-level
+    assert m.iloc[0]["o_house_number"] == "4"
+    assert m.iloc[0]["c_sim_street"] >= 0.5
+    # original input restored on the output row (utils.py:1271)
+    assert m.iloc[0][STREET] == st["name"]
+
+
+def test_box_number_triggers_cleansed_retry(world):
+    spec, gaz, parser, cfg = world
+    st = gaz.places[gaz.places.place_rank == 26].iloc[0]
+    out = _run(world, [_addr("k1", st["name"], "4 bt 2", st["post_code"],
+                             st["post_name"])])
+    m = out[out.status == "match"]
+    assert len(m) == 1
+    # "4 bt 2" can't hit a building directly; retry with leading digits does
+    assert m.iloc[0]["m_place_rank"] == 30
+    assert bool(m.iloc[0]["m_match_on_cleansed_house_number"]) is True
+
+
+def test_street_only_match_is_rank_26(world):
+    spec, gaz, parser, cfg = world
+    st = gaz.places[gaz.places.place_rank == 26].iloc[0]
+    out = _run(world, [_addr("k1", st["name"], "", st["post_code"],
+                             st["post_name"])])
+    m = out[out.status == "match"]
+    assert len(m) == 1 and m.iloc[0]["m_place_rank"] == 26
+
+
+def test_nostreet_final_fallback(world):
+    spec, gaz, parser, cfg = world
+    city = gaz.places[gaz.places.place_rank == 16].iloc[0]
+    # valid postcode, hopeless street -> ends at nostreet with a city match
+    out = _run(world, [_addr("k1", "Zzzz Qqqq Xyzzy", "99", city["post_code"],
+                             city["post_name"])])
+    m = out[out.status == "match"]
+    assert len(m) == 1
+    assert m.iloc[0]["m_method"] == "nostreet"
+    assert m.iloc[0]["m_place_rank"] == 16
+
+
+def test_garbage_is_unmatched(world):
+    out = _run(world, [_addr("k1", "Qwxyz Zzyzx", "1", "123", "Atlantis")])
+    assert (out.status == "unmatched").all()
+
+
+def test_misspelling_recovered_by_photon_step(world):
+    spec, gaz, parser, cfg = world
+    streets = gaz.places[(gaz.places.place_rank == 26)
+                         & (gaz.places.name.str.len() >= 12)]
+    st = streets.iloc[0]
+    name = st["name"]
+    mis = name[:4] + name[5:]          # drop 5th char
+    out = _run(world, [_addr("k1", mis, "4", st["post_code"], st["post_name"])])
+    m = out[out.status == "match"]
+    assert len(m) == 1
+    assert "photon" in m.iloc[0]["m_method"]
+
+
+def test_parent_rescue_on_dutch_only_road(world):
+    spec, gaz, parser, cfg = world
+    # variant-9 streets: road reported NL-only but name_fr exists
+    cand = gaz.places[(gaz.places.place_rank == 26)
+                      & (gaz.places.name_fr != "")
+                      & (gaz.places.street_name == gaz.places.name_nl)]
+    assert len(cand) > 0, "synthetic world must contain NL-only-road streets"
+    st = cand.iloc[0]
+    out = _run(world, [_addr("k1", st["name_fr"], "4", st["post_code"],
+                             st["post_name"])])
+    m = out[out.status == "match"]
+    assert len(m) == 1
+    # matched the building whose road is the Dutch name -> only possible
+    # via the parent-place alt-name rescue (check_result_utils.py:560-644)
+    assert m.iloc[0]["m_method"] == "orig"
+    assert m.iloc[0]["m_place_rank"] == 30
+    assert m.iloc[0]["o_street_name"] == st["name_nl"]
+
+
+def test_rejects_have_distance_to_match(world):
+    spec, gaz, parser, cfg = world
+    st = gaz.places[gaz.places.place_rank == 26].iloc[0]
+    out = _run(world, [_addr("k1", st["name"], "", st["post_code"],
+                             st["post_name"])])
+    rej = out[out.status == "reject"]
+    if len(rej):  # same-name streets in the hot city produce tail rejects
+        assert (rej["m_reject_reason"].isin(["tail", "mismatch"])).all()
+        assert rej["m_distance_to_match"].notna().all()
+
+
+def test_full_batch_every_class_resolves(world):
+    spec, gaz, parser, cfg = world
+    addrs = make_addresses(120, spec=spec, seed=11)
+    out = process_addresses_df(
+        addrs.drop(columns=["truth_class", "truth_street_place_id"]),
+        gaz, parser, cfg)
+    m = out[out.status == "match"]
+    # one match max per address; >=90% match rate on the synthetic mix
+    assert m[ADDR_KEY].is_unique
+    assert len(m) >= 0.9 * 120
+    # all input keys accounted for
+    assert set(out[ADDR_KEY]) == set(addrs[ADDR_KEY])
+    # extra house number columns populated for matches
+    assert (m["o_in_house_number"] == m[HOUSENBR]).all()
