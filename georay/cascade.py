@@ -411,3 +411,40 @@ class CascadeGeocoder:
         df = batch.to_pandas()
         out = process_addresses_df(df, self.gazetteer, self.parser, self.cfg)
         return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class SpanCascadeGeocoder(CascadeGeocoder):
+    """Cascade over exploded document spans: only rows with
+    ``is_address == True`` enter the cascade; other spans pass through with
+    status='not_address' so the downstream re-assembly sees every span
+    (the span-sequence invariant)."""
+
+    PASSTHROUGH = ["doc_id", "span_idx", "kind", "text", "media_ref",
+                   "offset", "is_address"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        addr = df[df["is_address"]]
+        rest = df[~df["is_address"]]
+        parts = []
+        if addr.shape[0] > 0:
+            out = process_addresses_df(
+                addr.drop(columns=[c for c in self.PASSTHROUGH
+                                   if c not in (ADDR_KEY,)]),
+                self.gazetteer, self.parser, self.cfg)
+            out = out.merge(addr[[ADDR_KEY] + self.PASSTHROUGH],
+                            on=ADDR_KEY, how="left")
+            parts.append(out)
+        if rest.shape[0] > 0:
+            stub = _finalize(rest[[ADDR_KEY]].assign(
+                **{STATUS: "not_address"}), [])
+            stub = stub.merge(rest[[ADDR_KEY] + self.PASSTHROUGH],
+                              on=ADDR_KEY, how="left")
+            parts.append(stub)
+        if not parts:
+            out = _finalize(pd.DataFrame(columns=[ADDR_KEY]), [])
+            for c in self.PASSTHROUGH:
+                out[c] = []
+            return pa.Table.from_pandas(out, preserve_index=False)
+        res = pd.concat(parts, sort=False, ignore_index=True)
+        return pa.Table.from_pandas(res, preserve_index=False)

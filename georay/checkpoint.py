@@ -1,0 +1,97 @@
+"""Checkpointed, resumable runs: per-partition lineage + counters.
+
+North-rule requirement (BASELINE.json): "every partition emits lineage
+records and counters to a checkpoint store so runs resume mid-pipeline".
+The reference has none of this (a crash loses the whole batch,
+SURVEY.md §3.3).
+
+Design: the job driver splits the input into shards (files or row
+ranges).  Each shard runs as its own streaming Dataset pipeline and
+writes one output partition directory; on completion a lineage record
+(shard id, rows in/out, status counters, wall seconds, output path) is
+appended to ``manifest.jsonl``.  On resume, completed shards are skipped
+— output is idempotent at shard granularity, never one giant file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+import ray.data
+
+
+class Manifest:
+    """Append-only JSONL lineage store for one run directory."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self.path = os.path.join(out_dir, "manifest.jsonl")
+        self._done: dict[str, dict] = {}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if line:
+                        rec = json.loads(line)
+                        self._done[rec["partition_id"]] = rec
+
+    def is_done(self, partition_id: str) -> bool:
+        return partition_id in self._done
+
+    def record(self, partition_id: str, **fields) -> None:
+        rec = {"partition_id": partition_id, "ts": time.time(), **fields}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        self._done[partition_id] = rec
+
+    def records(self) -> list[dict]:
+        return list(self._done.values())
+
+
+def run_resumable(shards: list[tuple[str, Callable[[], "ray.data.Dataset"]]],
+                  out_dir: str,
+                  counters_fn: Callable[["ray.data.Dataset"], dict] | None = None
+                  ) -> Manifest:
+    """Run each (partition_id, dataset_builder) shard to its own parquet
+    partition directory, skipping shards the manifest already marks done.
+
+    ``counters_fn`` (optional) computes per-partition metric counters from
+    the shard's output dataset (e.g. status counts) — stored in the
+    lineage record.
+    """
+    manifest = Manifest(out_dir)
+    for partition_id, build in shards:
+        if manifest.is_done(partition_id):
+            continue
+        t0 = time.time()
+        part_dir = os.path.join(out_dir, f"part={partition_id}")
+        ds = build()
+        ds.write_parquet(part_dir)
+        out = ray.data.read_parquet(part_dir)
+        rows = out.count()
+        counters = counters_fn(out) if counters_fn else {}
+        manifest.record(partition_id, rows=rows, seconds=round(time.time() - t0, 3),
+                        path=part_dir, counters=counters)
+    return manifest
+
+
+def status_counters(ds: "ray.data.Dataset") -> dict:
+    """Default per-partition counters: rows per status label (the
+    reference's step stats analogue, utils.py:678-686)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.group_by("status").aggregate([([], "count_all")])
+        return t.rename_columns(["status", "n"])
+    try:
+        pdf = (ds.map_batches(fn, batch_format="pyarrow")
+                 .groupby("status").aggregate(Sum("n", alias_name="n"))
+                 .to_pandas())
+        return dict(zip(pdf["status"], pdf["n"].astype(int)))
+    except Exception:
+        return {}

@@ -90,7 +90,9 @@ def _perturb(rng: np.random.Generator, cls: str, street: str, hn: str,
         city = "Nowhereville"
     elif cls == "garbage":
         street = "Qwxyz Zzyzx " + str(int(rng.integers(100, 999)))
-        pc = str(int(rng.integers(100, 999)))  # invalid 3-digit pc
+        # 4-digit but leading-zero pc: looks like an address to the span
+        # detector, resolves to nothing (no city has a 0xxx postcode)
+        pc = f"0{int(rng.integers(100, 999))}"
         city = "Atlantis"
         hn = str(int(rng.integers(1, 99)))
     return street, hn, pc, city, country

@@ -173,6 +173,39 @@ def _trigrams(s: str) -> set[str]:
     return {s[i:i + 3] for i in range(len(s) - 2)}
 
 
+def parse_free_text(q: str) -> dict[str, str]:
+    """Heuristic free-text split into address components; the engine sends
+    'street, housenbr, postcode city, country' (utils.py:639-646)."""
+    street = hn = pc = city = country = ""
+    for seg in [s.strip() for s in (q or "").split(",") if s.strip()]:
+        m = _PC_RE.match(seg)
+        if m and not pc:
+            pc, city = m.group(1), m.group(2).strip()
+            continue
+        if seg.lower() in COUNTRY_NAMES:
+            country = seg
+            continue
+        if _HN_RE.match(seg) and not hn:
+            hn = seg
+            continue
+        if not street:
+            street = seg
+        elif not city:
+            city = seg
+    # embedded house number inside the street segment:
+    # "Avenue Fonsny 20" / "20 Avenue Fonsny" (Nominatim resolves these)
+    if street and not hn:
+        toks = street.split()
+        if len(toks) > 1 and re.fullmatch(r"[0-9]+[a-zA-Z]?", toks[-1]):
+            hn = toks[-1]
+            street = " ".join(toks[:-1])
+        elif len(toks) > 1 and re.fullmatch(r"[0-9]+[a-zA-Z]?", toks[0]):
+            hn = toks[0]
+            street = " ".join(toks[1:])
+    return {"street": street, "housenumber": hn, "postcode": pc,
+            "city": city, "country": country}
+
+
 class Gazetteer:
     """The per-actor geocoder index over the synthetic places table."""
 
@@ -366,36 +399,7 @@ class Gazetteer:
         return results
 
     def parse_free_text(self, q: str) -> dict[str, str]:
-        """Heuristic free-text split into components; the engine sends
-        'street, housenbr, postcode city, country' (utils.py:639-646)."""
-        street = hn = pc = city = country = ""
-        for seg in [s.strip() for s in (q or "").split(",") if s.strip()]:
-            m = _PC_RE.match(seg)
-            if m and not pc:
-                pc, city = m.group(1), m.group(2).strip()
-                continue
-            if seg.lower() in COUNTRY_NAMES:
-                country = seg
-                continue
-            if _HN_RE.match(seg) and not hn:
-                hn = seg
-                continue
-            if not street:
-                street = seg
-            elif not city:
-                city = seg
-        # embedded house number inside the street segment:
-        # "Avenue Fonsny 20" / "20 Avenue Fonsny" (Nominatim resolves these)
-        if street and not hn:
-            toks = street.split()
-            if len(toks) > 1 and re.fullmatch(r"[0-9]+[a-zA-Z]?", toks[-1]):
-                hn = toks[-1]
-                street = " ".join(toks[:-1])
-            elif len(toks) > 1 and re.fullmatch(r"[0-9]+[a-zA-Z]?", toks[0]):
-                hn = toks[0]
-                street = " ".join(toks[1:])
-        return {"street": street, "housenumber": hn, "postcode": pc,
-                "city": city, "country": country}
+        return parse_free_text(q)
 
     def search(self, q: str, limit: int = 50, namedetails: bool = False) -> list[dict]:
         parts = self.parse_free_text(q)

@@ -1,0 +1,152 @@
+"""kNN operators: gazetteer rescue for unresolved addresses (string
+similarity) and generic point-kNN joins (SURVEY.md §2.4 net-new row).
+
+Two physical plans, chosen by the size of the reference side:
+
+- broadcast (small side fits memory): the gazetteer/points live in actor
+  state (built once per actor from the deterministic spec, or shipped via
+  ``ray.put``), each batch scores against it vectorized.  Exact, no
+  shuffle — the default at any scale where the reference side is a
+  lookup table.
+- co-partitioned (both sides large): tag + union the two datasets, add a
+  bucket key (postcode prefix / hex-cell prefix), ``groupby(bucket)``
+  once, and score inside ``map_groups``.  Documented partitioning
+  assumption: a query only needs candidates from its own bucket (ragged
+  edges need neighbor-bucket duplication — ``expand`` replicates
+  reference rows into adjacent buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .config import CITY, POSTCODE, STATUS, STREET
+from .gazetteer import GazetteerSpec, get_gazetteer
+from .textkernels import jaro_winkler, normalize_street, token_sort_ratio
+
+
+class KnnRescuer:
+    """map_batches actor: for rows with status == 'unmatched', attach the
+    top-k gazetteer street suggestions by Jaro-Winkler + token-sort score,
+    searched within the postcode-prefix bucket (falls back to global)."""
+
+    def __init__(self, spec: GazetteerSpec | None = None, k: int = 3):
+        self.k = k
+        gaz = get_gazetteer(spec or GazetteerSpec())
+        streets = gaz.places[gaz.places.place_rank == 26]
+        self.names = streets["name"].map(normalize_street).to_numpy()
+        self.place_ids = streets["place_id"].to_numpy()
+        self.street_names = streets["name"].to_numpy()
+        self.pc_prefix: dict[str, np.ndarray] = {}
+        pref = streets["post_code"].astype(str).str[:2].to_numpy()
+        for p in np.unique(pref):
+            self.pc_prefix[p] = np.flatnonzero(pref == p)
+
+    def _score_one(self, street: str, idxs: np.ndarray) -> list[tuple[float, int]]:
+        q = normalize_street(street)
+        if not q:
+            return []
+        scored = []
+        for i in idxs:
+            name = self.names[i]
+            s = 0.5 * jaro_winkler(q, name) + 0.5 * token_sort_ratio(q, name)
+            scored.append((s, int(i)))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return scored[:self.k]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n = len(df)
+        sugg_ids = [[] for _ in range(n)]
+        sugg_names = [[] for _ in range(n)]
+        sugg_scores = [[] for _ in range(n)]
+        todo = df.index[(df[STATUS] == "unmatched") & (df[STREET] != "")]
+        for pos, i in enumerate(todo):
+            pref = str(df.at[i, POSTCODE])[:2]
+            idxs = self.pc_prefix.get(pref)
+            if idxs is None or len(idxs) == 0:
+                idxs = np.arange(len(self.names))
+            top = self._score_one(df.at[i, STREET], idxs)
+            loc = df.index.get_loc(i)
+            sugg_ids[loc] = [int(self.place_ids[j]) for _, j in top]
+            sugg_names[loc] = [str(self.street_names[j]) for _, j in top]
+            sugg_scores[loc] = [round(float(s), 4) for s, _ in top]
+        df["knn_place_ids"] = sugg_ids
+        df["knn_streets"] = sugg_names
+        df["knn_scores"] = sugg_scores
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def knn_points_broadcast(query_df: pd.DataFrame, ref_lat: np.ndarray,
+                         ref_lon: np.ndarray, ref_ids: np.ndarray,
+                         k: int = 3) -> pd.DataFrame:
+    """Exact k nearest reference points per query row (haversine), fully
+    vectorized: used inside map_batches with the reference arrays held in
+    actor state / broadcast.  Returns one row per (query, neighbor) with
+    rank 1..k — the layout the DuckDB oracle reproduces with a windowed
+    cross join."""
+    from .geom import haversine_km
+    qlat = query_df["lat"].to_numpy(dtype=np.float64)
+    qlon = query_df["lon"].to_numpy(dtype=np.float64)
+    out_rows = []
+    # chunk queries so the (q × ref) matrix stays small
+    chunk = max(1, int(4_000_000 // max(1, len(ref_lat))))
+    for s in range(0, len(qlat), chunk):
+        e = min(s + chunk, len(qlat))
+        d = haversine_km(qlat[s:e, None], qlon[s:e, None],
+                         ref_lat[None, :], ref_lon[None, :])
+        kk = min(k, d.shape[1])
+        part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        for r in range(e - s):
+            cand = part[r]
+            order = np.lexsort((ref_ids[cand], d[r, cand]))
+            for rank, ci in enumerate(cand[order]):
+                out_rows.append((s + r, int(ref_ids[ci]),
+                                 float(d[r, ci]), rank + 1))
+    res = pd.DataFrame(out_rows, columns=["_qi", "neighbor_id", "dist_km",
+                                          "rank"])
+    base = query_df.reset_index(drop=True)
+    base["_qi"] = np.arange(len(base))
+    return base.merge(res, on="_qi").drop(columns=["_qi"])
+
+
+def knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k: int = 3,
+                           query_cols=None, ref_cols=None):
+    """Generic both-sides-large kNN join over Ray Datasets.
+
+    ``bucket_fn(df) -> Series`` assigns the co-partition key to either
+    side; ``score_fn(qrow, ref_df) -> (scores, ids)``.  One
+    ``groupby(bucket)`` shuffle; scoring runs inside ``map_groups``.
+    """
+    import ray.data  # noqa: F401
+
+    def tag(side):
+        def fn(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            df["_side"] = side
+            df["_bucket"] = bucket_fn(df)
+            return pa.Table.from_pandas(df, preserve_index=False)
+        return fn
+
+    q = queries.map_batches(tag("q"), batch_format="pyarrow")
+    r = refs.map_batches(tag("r"), batch_format="pyarrow")
+    both = q.union(r)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["_side"] == "q"]
+        rs = g[g["_side"] == "r"]
+        rows = []
+        for _, qrow in qs.iterrows():
+            scores, ids = score_fn(qrow, rs)
+            order = np.argsort(-np.asarray(scores))[:k]
+            for rank, oi in enumerate(order):
+                rows.append({**{c: qrow[c] for c in (query_cols or qs.columns)
+                                if not c.startswith("_")},
+                             "neighbor_id": ids[oi],
+                             "score": float(scores[oi]), "rank": rank + 1})
+        return pd.DataFrame(rows)
+
+    return both.groupby("_bucket").map_groups(per_bucket,
+                                              batch_format="pandas")

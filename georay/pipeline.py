@@ -1,0 +1,146 @@
+"""End-to-end Ray Data pipeline builders (SURVEY.md §7.1 ``pipeline.py``).
+
+Flagship flow (the reference's ``/batchGeocode`` re-expressed Ray-Data-
+first, §3.1):
+
+    read_parquet(documents)                        # prune at the read
+      -> map_batches(explode_spans)                # Arrow explode, stateless
+      -> map_batches(SpanCascadeGeocoder, ...)     # actor pool, whole cascade
+      -> map_batches(TileAnnotator, ...)           # actor pool, cells + PIP
+      -> [map_batches(KnnRescuer)]                 # actor pool, unresolved
+      -> write_parquet / groupby rollups / reassemble
+
+Everything is lazy/streaming; no stage materializes the full dataset.
+All builders take an existing Dataset or a path — they never call
+``ray.init()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import ray.data
+
+from .cascade import CascadeGeocoder, SpanCascadeGeocoder
+from .config import PipelineConfig
+from .corpus import make_documents
+from .gazetteer import GazetteerSpec
+from .knn import KnnRescuer
+from .spans import explode_spans, reassemble_group
+from .tiles import TileAnnotator
+
+
+def synth_documents_dataset(n_docs: int, spec: GazetteerSpec | None = None,
+                            seed: int = 7,
+                            parallelism: int = 16) -> "ray.data.Dataset":
+    """Deterministic interleaved-documents Dataset (the input_hint table),
+    built driver-side once and converted; for larger sizes prefer
+    ``write_synth_documents`` + ``read_parquet``."""
+    docs, _ = make_documents(n_docs, spec=spec, seed=seed)
+    return ray.data.from_arrow(docs).repartition(parallelism)
+
+
+def geocode_documents(docs: "ray.data.Dataset",
+                      spec: GazetteerSpec | None = None,
+                      cfg: PipelineConfig | None = None,
+                      concurrency: int | tuple = 8,
+                      batch_size: int = 1024,
+                      with_knn_rescue: bool = True,
+                      with_tiles: bool = True) -> "ray.data.Dataset":
+    """documents -> span-level geocode results (one row per span ×
+    match/reject, not_address spans passed through)."""
+    spec = spec or GazetteerSpec()
+    cfg = cfg or PipelineConfig()
+    spans = docs.map_batches(explode_spans, batch_format="pyarrow")
+    geocoded = spans.map_batches(
+        SpanCascadeGeocoder, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency,
+        fn_constructor_kwargs={"spec": spec, "cfg": cfg})
+    # Light annotation pools get fractional CPUs so the pools never sum to
+    # the whole node and starve the stateless explode/read tasks (the
+    # actor-pool sizing rule, SURVEY.md §4): cascade actors do ~95% of the
+    # work, tile/knn stages are cheap per batch.
+    if with_tiles:
+        geocoded = geocoded.map_batches(
+            TileAnnotator, batch_format="pyarrow", batch_size=4096,
+            concurrency=2, num_cpus=0.25,
+            fn_constructor_kwargs={"spec": spec,
+                                   "hex_res": cfg.hex_res,
+                                   "quad_level": cfg.quad_level})
+    if with_knn_rescue:
+        geocoded = geocoded.map_batches(
+            KnnRescuer, batch_format="pyarrow", batch_size=4096,
+            concurrency=2, num_cpus=0.25,
+            fn_constructor_kwargs={"spec": spec})
+    return geocoded
+
+
+def geocode_addresses(addrs: "ray.data.Dataset",
+                      spec: GazetteerSpec | None = None,
+                      cfg: PipelineConfig | None = None,
+                      concurrency: int | tuple = 8,
+                      batch_size: int = 1024,
+                      with_tiles: bool = True) -> "ray.data.Dataset":
+    """Flat address batch -> cascade results (the /batchGeocode parity
+    path, nominatimwrapper.py:709-855)."""
+    spec = spec or GazetteerSpec()
+    cfg = cfg or PipelineConfig()
+    out = addrs.map_batches(
+        CascadeGeocoder, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"spec": spec, "cfg": cfg})
+    if with_tiles:
+        out = out.map_batches(
+            TileAnnotator, batch_format="pyarrow", batch_size=4096,
+            concurrency=2, num_cpus=0.25,
+            fn_constructor_kwargs={"spec": spec, "hex_res": cfg.hex_res,
+                                   "quad_level": cfg.quad_level})
+    return out
+
+
+def reassemble_documents(span_results: "ray.data.Dataset"
+                         ) -> "ray.data.Dataset":
+    """Regroup span-level results into documents, preserving span order —
+    the one required shuffle (groupby doc_id), SURVEY.md §7.3."""
+    import pyarrow.compute as pc
+
+    def keep_fn(batch):
+        return batch.filter(pc.is_in(
+            batch["status"],
+            value_set=__import__("pyarrow").array(
+                ["match", "unmatched", "not_address"])))
+    keep = span_results.map_batches(keep_fn, batch_format="pyarrow")
+    return keep.groupby("doc_id").map_groups(reassemble_group,
+                                             batch_format="pandas")
+
+
+def validate_addresses(payload: list[dict[str, Any]],
+                       mandatory=("addr_key",)) -> None:
+    """Driver-side pre-flight mirroring the REST layer's checks:
+    mandatory fields (nominatimwrapper.py:784-787) and duplicate-key
+    rejection (:789-790)."""
+    keys = [p.get("addr_key") for p in payload]
+    for f in mandatory:
+        missing = [i for i, p in enumerate(payload) if not p.get(f)]
+        if missing:
+            raise ValueError(f"mandatory field {f!r} missing in rows {missing[:5]}")
+    if len(set(keys)) != len(keys):
+        raise ValueError("duplicate addr_key values in payload")
+
+
+MODE_COLUMNS = {
+    # output projections per REST mode (nominatimwrapper.py:632-648, 820-837)
+    "coordinates": ["addr_key", "o_lat", "o_lon", "status"],
+    "short": ["addr_key", "status", "m_method", "m_place_rank", "m_place_id",
+              "o_lat", "o_lon", "o_street_name", "o_house_number",
+              "o_post_code", "o_post_name", "o_country_name"],
+    "long": None,  # all columns
+}
+
+
+def project_mode(ds: "ray.data.Dataset", mode: str) -> "ray.data.Dataset":
+    cols = MODE_COLUMNS.get(mode)
+    if cols is None:
+        return ds
+    have = [c for c in cols if c in ds.schema().names]
+    return ds.select_columns(have)
