@@ -1,0 +1,286 @@
+"""Deduplication operators over a document Dataset (SURVEY.md mandate:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup).
+
+Physical plans (the 100 TB story):
+
+- exact: md5 content key per batch (map-side), then ONE hash shuffle —
+  ``groupby(content_key).map_groups(first)``; survivors keep the minimum
+  doc id (deterministic representative).
+- MinHash-LSH: signatures are computed map-side (vectorized k-permutation
+  min-hash over word shingles); each row emits its (band_id, band_hash)
+  bucket keys; the only shuffle groups by bucket.  Candidate pairs are
+  verified with the exact shingle Jaccard INSIDE the bucket group — never
+  a cross-dataset join.
+- SimHash: 64-bit signature map-side; bucket on 4 × 16-bit chunks (two
+  signatures within Hamming distance ≤3 share ≥1 chunk — pigeonhole);
+  verify Hamming distance in-group.
+- embedding cosine: random-hyperplane LSH buckets map-side, exact cosine
+  verify in-group (see ops/similarity.py for the search variant).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+_WORD = re.compile(r"\w+", re.U)
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """crc32 hashes of word n-gram shingles (deterministic across
+    processes, unlike Python's str hash)."""
+    toks = [t.lower() for t in _WORD.findall(text or "")]
+    if len(toks) < n:
+        joined = [" ".join(toks)] if toks else []
+    else:
+        joined = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    return np.array([zlib.crc32(s.encode("utf-8")) for s in joined],
+                    dtype=np.uint64)
+
+
+class MinHasher:
+    """k-permutation MinHash over word shingles; state (the permutation
+    coefficients) built once per actor."""
+
+    def __init__(self, k: int = 64, seed: int = 1234, shingle_n: int = 3):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=k, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=k, dtype=np.uint64)
+        self.k = k
+        self.shingle_n = shingle_n
+
+    def signature(self, text: str) -> np.ndarray:
+        h = _shingle_hashes(text, self.shingle_n)
+        if len(h) == 0:
+            return np.zeros(self.k, dtype=np.uint64)
+        # (a*h + b) mod p, min over shingles — vectorized k × n
+        v = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
+        return v.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        arr = pa.array([s.astype("int64").tolist() for s in sigs],
+                       pa.list_(pa.int64()))
+        return batch.append_column("minhash", arr)
+
+
+def exact_duplicates(ds: "ray.data.Dataset", id_col: str = "doc_id",
+                     text_col: str = "text") -> "ray.data.Dataset":
+    """One row per document that is NOT the keeper of its content group:
+    (doc_id, keeper_id, content_key).  Hash-partition + per-group-min."""
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+                for t in batch[text_col].to_pylist()]
+        return pa.table({id_col: batch[id_col],
+                         "content_key": pa.array(keys, pa.string())})
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(columns=[id_col, "keeper_id", "content_key"])
+        g = g.sort_values(id_col, kind="mergesort")
+        keeper = g[id_col].iloc[0]
+        rest = g.iloc[1:]
+        return pd.DataFrame({id_col: rest[id_col],
+                             "keeper_id": keeper,
+                             "content_key": rest["content_key"]})
+
+    return keyed.groupby("content_key").map_groups(per_group,
+                                                   batch_format="pandas")
+
+
+def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
+                      threshold: float = 0.5, shingle_n: int = 3,
+                      id_col: str = "doc_id", text_col: str = "text"
+                      ) -> "ray.data.Dataset":
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold) via
+    banded MinHash-LSH; one shuffle on the band bucket key."""
+    rows_per_band = k // bands
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        hasher = MinHasher(k=k, shingle_n=shingle_n)
+        ids, bkt, sig_out = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            sig = hasher.signature(t)
+            sig_l = sig.astype("int64")
+            for b in range(bands):
+                chunk = sig_l[b * rows_per_band:(b + 1) * rows_per_band]
+                h = hashlib.md5(
+                    b.to_bytes(2, "little") + chunk.tobytes()).hexdigest()[:16]
+                ids.append(batch[id_col][i].as_py())
+                bkt.append(h)
+                sig_out.append(sig_l.tolist())
+        return pa.table({id_col: pa.array(ids),
+                         "bucket": pa.array(bkt, pa.string()),
+                         "minhash": pa.array(sig_out, pa.list_(pa.int64()))})
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        if len(g) >= 2:
+            g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+            sigs = np.array(g["minhash"].tolist())
+            ids = g[id_col].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    est = float((sigs[i] == sigs[j]).mean())
+                    if est >= threshold:
+                        out.append((ids[i], ids[j], est))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
+
+    pairs = buckets.groupby("bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    # same pair can surface from several bands -> dedup on (id_a, id_b)
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dd,
+                                                      batch_format="pandas")
+
+
+def simhash64(text: str) -> np.uint64:
+    """64-bit SimHash over word hashes (published Charikar construction)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in _WORD.findall((text or "").lower()):
+        h = np.uint64(int.from_bytes(hashlib.md5(w.encode()).digest()[:8],
+                                     "little"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = np.uint64(0)
+    for b in range(64):
+        if acc[b] > 0:
+            out |= np.uint64(1) << np.uint64(b)
+    return out
+
+
+def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
+                  id_col: str = "doc_id", text_col: str = "text"
+                  ) -> "ray.data.Dataset":
+    """Near-dup pairs with Hamming(simhash) <= max_hamming; bucketed on
+    the 4 16-bit chunks (pigeonhole guarantee for <=3 bit flips)."""
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        ids, bkt, sh = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            s = int(simhash64(t))
+            for c in range(4):
+                chunk = (s >> (16 * c)) & 0xFFFF
+                ids.append(batch[id_col][i].as_py())
+                bkt.append(f"{c}:{chunk}")
+                sh.append(np.int64(np.uint64(s).astype(np.int64)))
+        return pa.table({id_col: pa.array(ids),
+                         "bucket": pa.array(bkt, pa.string()),
+                         "simhash": pa.array(sh, pa.int64())})
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+        vals = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        ids = g[id_col].tolist()
+        for i in range(len(ids)):
+            x = vals[i] ^ vals[i + 1:]
+            ham = np.array([bin(int(v)).count("1") for v in x])
+            for off in np.flatnonzero(ham <= max_hamming):
+                out.append((ids[i], ids[i + 1 + off], int(ham[off])))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+
+    pairs = buckets.groupby("bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
+                        shingle_n: int = 3, bands: int = 16, k: int = 64,
+                        id_col: str = "doc_id", text_col: str = "text"
+                        ) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard >= threshold pairs; candidates from MinHash-LSH
+    buckets (recall limited by LSH — documented), verified by exact
+    shingle-set Jaccard inside the group."""
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        hasher = MinHasher(k=k, shingle_n=shingle_n)
+        rows_per_band = k // bands
+        ids, bkt, sh = [], [], []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            sig = hasher.signature(t).astype("int64")
+            shingles = sorted(set(_shingle_hashes(t, shingle_n).tolist()))
+            for b in range(bands):
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                h = hashlib.md5(
+                    b.to_bytes(2, "little") + chunk.tobytes()).hexdigest()[:16]
+                ids.append(batch[id_col][i].as_py())
+                bkt.append(h)
+                sh.append(shingles)
+        return pa.table({id_col: pa.array(ids),
+                         "bucket": pa.array(bkt, pa.string()),
+                         "shingles": pa.array(sh, pa.list_(pa.int64()))})
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+        ids = g[id_col].tolist()
+        sets = [set(s) for s in g["shingles"]]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = inter / union if union else 0.0
+                if jac >= threshold:
+                    out.append((ids[i], ids[j], round(jac, 6)))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+
+    pairs = buckets.groupby("bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
+                        n_planes: int = 12, seed: int = 99,
+                        id_col: str = "vec_id", vec_col: str = "embedding"
+                        ) -> "ray.data.Dataset":
+    """Near-duplicate pairs by cosine >= threshold: random-hyperplane LSH
+    bucket map-side, exact cosine verify in-group."""
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((vecs.shape[1] if vecs.ndim == 2 else 1,
+                                      n_planes))
+        signs = (vecs @ planes) > 0
+        code = signs @ (1 << np.arange(n_planes))
+        return pa.table({id_col: batch[id_col],
+                         "bucket": pa.array(code.astype(np.int64)),
+                         vec_col: batch[vec_col]})
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+        v = np.array(g[vec_col].tolist(), dtype=np.float64)
+        if len(v) >= 2:
+            norm = np.linalg.norm(v, axis=1, keepdims=True)
+            vn = v / np.maximum(norm, 1e-12)
+            sim = vn @ vn.T
+            ids = g[id_col].tolist()
+            ii, jj = np.where(np.triu(sim, 1) >= threshold)
+            for i, j in zip(ii, jj):
+                out.append((ids[i], ids[j], round(float(sim[i, j]), 6)))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
+
+    return buckets.groupby("bucket").map_groups(per_bucket,
+                                                batch_format="pandas")

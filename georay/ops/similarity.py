@@ -1,0 +1,131 @@
+"""Similarity search over an embedding column (``list<float>``):
+brute-force cosine top-k (exact baseline) and an IVF-style bucketed
+variant (the scale path).
+
+Brute-force plan: the query matrix is SMALL — broadcast it (held in actor
+state / closure), compute per-batch partial top-k with one numpy matmul,
+then merge partials with one tiny ``groupby(query_id)``.  The data side
+streams; nothing materializes.
+
+IVF plan: seeded centroids (deterministic k-means-lite on a sample),
+map-side assignment to nearest centroid, search only the probed
+centroids' buckets — recall < 1 by design, verified against brute force
+in tests.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def topk_cosine_brute(ds: "ray.data.Dataset", queries: np.ndarray,
+                      k: int = 5, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Exact top-k by cosine for each query row: per-batch matmul partial
+    top-k -> groupby(query_id) merge.  Returns (query_id, vec_id, cosine,
+    rank) with rank 1..k, deterministic tie-break on vec_id asc."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if v.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        sim = qn @ _normalize(v).T           # (q, n)
+        kk = min(k, sim.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sim.shape[0]):
+            part = np.argpartition(-sim[qi], kk - 1)[:kk]
+            for ci in part:
+                out_q.append(qi)
+                out_id.append(int(ids[ci]))
+                out_s.append(float(sim[qi, ci]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")
+
+
+def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 10,
+                seed: int = 5) -> np.ndarray:
+    """Deterministic k-means on a driver-side sample (the IVF codebook)."""
+    rng = np.random.default_rng(seed)
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)
+    cent = x[np.sort(idx)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = x[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def topk_cosine_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
+                    centroids: np.ndarray, k: int = 5, n_probe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> "ray.data.Dataset":
+    """IVF-bucketed ANN: rows are searched only if their centroid is among
+    each query's ``n_probe`` nearest centroids.  Same output layout as the
+    brute path; approximate recall (tested >= ~0.9 on the synthetic
+    embeddings)."""
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    probe = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]   # (q, n_probe)
+    probe_sets = [set(p.tolist()) for p in probe]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        if v.size:
+            vn = _normalize(v)
+            assign = np.argmax(vn @ cn.T, axis=1)
+            sim = qn @ vn.T
+            kk = min(k, sim.shape[1])
+            for qi in range(sim.shape[0]):
+                mask = np.isin(assign, list(probe_sets[qi]))
+                if not mask.any():
+                    continue
+                cand = np.flatnonzero(mask)
+                take = cand[np.argsort(-sim[qi, cand])[:kk]]
+                for ci in take:
+                    out_q.append(qi)
+                    out_id.append(int(ids[ci]))
+                    out_s.append(float(sim[qi, ci]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         id_col: pa.array(out_id, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", id_col], ascending=[False, True],
+                          kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge,
+                                                   batch_format="pandas")

@@ -1,0 +1,143 @@
+"""Text analysis stages over the ``documents`` table: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All are stateless vectorized ``map_batches`` fns except ``LangId`` (holds
+compiled patterns + stopword tables per actor).  The md5 content key and
+the simple count/ratio features are deliberately expressible in ANSI SQL
+so the DuckDB oracle can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = re.compile(r"\s+")
+_TOKEN = re.compile(r"\w+|[^\w\s]", re.U)  # BPE-ish piece count
+_PUNCT = re.compile(r"[^\w\s]", re.U)
+
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "for", "that", "with"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "pour",
+           "que", "dans", "au", "aux", "du"},
+    "nl": {"de", "het", "een", "en", "van", "is", "voor", "dat", "met",
+           "aan", "op", "te", "zijn"},
+}
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """n_tokens (whitespace), n_pieces (word/punct pieces), n_chars,
+    punct_ratio — all SQL-replicable."""
+    texts = batch[text_col].to_pylist()
+    n_tok = np.empty(len(texts), dtype=np.int64)
+    n_pieces = np.empty(len(texts), dtype=np.int64)
+    n_chars = np.empty(len(texts), dtype=np.int64)
+    n_punct = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        t = t or ""
+        n_chars[i] = len(t)
+        n_tok[i] = len([x for x in _WS.split(t.strip()) if x]) if t.strip() else 0
+        n_pieces[i] = len(_TOKEN.findall(t))
+        n_punct[i] = len(_PUNCT.findall(t))
+    out = batch.append_column("n_tokens", pa.array(n_tok))
+    out = out.append_column("n_pieces", pa.array(n_pieces))
+    out = out.append_column("n_chars_calc", pa.array(n_chars))
+    out = out.append_column(
+        "punct_ratio",
+        pa.array(np.where(n_chars > 0, n_punct / np.maximum(n_chars, 1), 0.0)))
+    return out
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality in [0,1]: length band + punctuation sanity +
+    mean word length band (the published C4/Gopher-style length and
+    symbol filters, simplified)."""
+    texts = batch[text_col].to_pylist()
+    score = np.zeros(len(texts))
+    for i, t in enumerate(texts):
+        t = t or ""
+        toks = [x for x in _WS.split(t.strip()) if x]
+        n = len(toks)
+        s = 0.0
+        if 5 <= n <= 10000:
+            s += 0.4
+        punct = len(_PUNCT.findall(t)) / max(len(t), 1)
+        if punct < 0.2:
+            s += 0.3
+        mwl = (sum(len(x) for x in toks) / n) if n else 0.0
+        if 3.0 <= mwl <= 12.0:
+            s += 0.3
+        score[i] = round(s, 3)
+    return batch.append_column("quality", pa.array(score))
+
+
+def content_md5(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """md5 hex of the raw text — the exact-dedup key (SQL: md5(text))."""
+    keys = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            for t in batch[text_col].to_pylist()]
+    return batch.append_column("content_key", pa.array(keys, pa.string()))
+
+
+def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
+                        window: int = 8) -> pa.Table:
+    """Karp-Rabin rolling-hash document fingerprint: min hash over all
+    ``window``-grams of the normalized text (a winnowing-style sketch from
+    the published fingerprinting literature), as int64."""
+    out = np.empty(len(batch), dtype=np.int64)
+    B = 1000003
+    MOD = (1 << 61) - 1
+    for i, t in enumerate(batch[text_col].to_pylist()):
+        s = _WS.sub(" ", (t or "").lower()).strip()
+        if len(s) < window:
+            h = 0
+            for ch in s:
+                h = (h * B + ord(ch)) % MOD
+            out[i] = h
+            continue
+        vals = np.frombuffer(s.encode("utf-8", "replace")[:len(s)],
+                             dtype=np.uint8)[:len(s)].astype(np.int64)
+        h = 0
+        pw = pow(B, window - 1, MOD)
+        best = MOD
+        for j, v in enumerate(vals):
+            if j >= window:
+                h = (h - vals[j - window] * pw) % MOD
+            h = (h * B + int(v)) % MOD
+            if j >= window - 1 and h < best:
+                best = h
+        out[i] = best
+    return batch.append_column("fingerprint", pa.array(out))
+
+
+class LangId:
+    """Actor-pool language ID: stopword-hit argmax over en/fr/nl with a
+    deterministic tie-break (alphabetical), 'und' when nothing hits."""
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zàâäçéèêëîïôöùûüÿ']+", re.I)
+        self.tables = {k: frozenset(v) for k, v in STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = []
+        confs = []
+        for t in batch["text"].to_pylist():
+            toks = [w.lower() for w in self.word.findall(t or "")]
+            if not toks:
+                langs.append("und")
+                confs.append(0.0)
+                continue
+            hits = {lang: sum(1 for w in toks if w in tbl)
+                    for lang, tbl in self.tables.items()}
+            best = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if best[1] == 0:
+                langs.append("und")
+                confs.append(0.0)
+            else:
+                langs.append(best[0])
+                confs.append(round(best[1] / len(toks), 4))
+        out = batch.append_column("lang_pred", pa.array(langs, pa.string()))
+        return out.append_column("lang_conf", pa.array(confs, pa.float64()))

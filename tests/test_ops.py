@@ -1,0 +1,185 @@
+"""Training-data op tests: dedup family, ANN search, text analysis,
+multimodal plumbing — verified against brute-force / DuckDB locally."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from georay.ops.dedup import (embedding_dup_pairs, exact_duplicates,
+                              minhash_lsh_pairs, ngram_jaccard_pairs,
+                              simhash_pairs)
+from georay.ops.multimodal import (MediaFeatureExtractor, FrameSampler,
+                                   synth_media_batch)
+from georay.ops.similarity import kmeans_lite, topk_cosine_brute, topk_cosine_ivf
+from georay.ops.text import LangId, content_md5, quality_score, token_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeds(ray_session):
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_exact_duplicates_matches_duckdb(docs):
+    got = exact_duplicates(docs).to_pandas()
+    exp = duckdb.sql(f"""
+        with k as (select doc_id, md5(text) content_key
+                   from read_parquet('{SF}/documents.parquet')),
+        g as (select *, min(doc_id) over (partition by content_key) keeper,
+                     count(*) over (partition by content_key) n from k)
+        select doc_id from g where n > 1 and doc_id <> keeper
+    """).df()
+    got_ids = set(got["doc_id"]) if "doc_id" in got.columns else set()
+    assert got_ids == set(exp["doc_id"])
+
+
+def test_exact_duplicates_finds_planted_dups(ray_session):
+    rows = [{"doc_id": i, "text": f"unique {i}"} for i in range(10)]
+    rows += [{"doc_id": 100, "text": "unique 3"},
+             {"doc_id": 101, "text": "unique 3"}]
+    ds = ray.data.from_items(rows)
+    got = exact_duplicates(ds).to_pandas()
+    assert set(got["doc_id"]) == {100, 101}
+    assert (got["keeper_id"] == 3).all()
+
+
+def test_minhash_pairs_find_real_duplicates(ray_session):
+    texts = ["the quick brown fox jumps over the lazy dog " * 5,
+             "the quick brown fox jumps over the lazy dog " * 5 + "extra tail",
+             "completely different content about graph databases " * 5]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert {(0, 1)} == set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_simhash_pairs(ray_session):
+    # simhash is order-insensitive: a token permutation is hamming-0
+    base = " ".join(f"word{i}" for i in range(40))
+    shuffled = " ".join(f"word{i}" for i in reversed(range(40)))
+    texts = [base, shuffled,
+             "unrelated words entirely here about other topics " * 4]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    pairs = simhash_pairs(ds, max_hamming=3).to_pandas()
+    assert (0, 1) in set(zip(pairs["id_a"], pairs["id_b"]))
+    assert not any(2 in p for p in zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_ngram_jaccard_exact_values(ray_session):
+    words = [f"tok{i}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:-1] + ["changed"])   # last bigram differs
+    ds = ray.data.from_items([{"doc_id": 0, "text": a},
+                              {"doc_id": 1, "text": b}])
+    pairs = ngram_jaccard_pairs(ds, threshold=0.1, shingle_n=2).to_pandas()
+    # bigrams: 39 each, 38 shared -> exact jaccard 38/40
+    assert len(pairs) == 1
+    assert pairs.iloc[0]["jaccard"] == pytest.approx(38 / 40, abs=1e-6)
+
+
+def test_topk_cosine_brute_matches_numpy(embeds):
+    pdf = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    queries = mat[:3]
+    got = topk_cosine_brute(embeds, queries, k=4).to_pandas()
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    sim = qn @ mn.T
+    for qi in range(3):
+        order = np.lexsort((pdf["vec_id"].to_numpy(), -sim[qi]))[:4]
+        exp_ids = pdf["vec_id"].to_numpy()[order].tolist()
+        g = got[got["query_id"] == qi].sort_values("rank")
+        assert g["vec_id"].tolist() == exp_ids
+
+
+def test_ivf_recall_vs_brute(embeds):
+    pdf = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    queries = mat[10:15]
+    cents = kmeans_lite(mat[:200], n_clusters=8)
+    brute = topk_cosine_brute(embeds, queries, k=5).to_pandas()
+    ivf = topk_cosine_ivf(embeds, queries, cents, k=5, n_probe=4).to_pandas()
+    hits = 0
+    total = 0
+    for qi in range(5):
+        b = set(brute[brute.query_id == qi]["vec_id"])
+        a = set(ivf[ivf.query_id == qi]["vec_id"])
+        hits += len(b & a)
+        total += len(b)
+    # synthetic embeddings are weakly clustered; probing half the
+    # codebook must recover a solid majority of the exact top-k
+    assert hits / total >= 0.7
+
+
+def test_embedding_dup_pairs_self_duplicates(ray_session):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((5, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": v.tolist()})
+        rows.append({"vec_id": 100 + i,
+                     "embedding": (v + 0.001 * rng.standard_normal(16)).tolist()})
+    ds = ray.data.from_items(rows)
+    pairs = embedding_dup_pairs(ds, threshold=0.999).to_pandas()
+    found = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert all((i, 100 + i) in found for i in range(5))
+
+
+def test_text_stats_and_quality(docs):
+    out = docs.map_batches(token_stats, batch_format="pyarrow") \
+              .map_batches(quality_score, batch_format="pyarrow") \
+              .map_batches(content_md5, batch_format="pyarrow").to_pandas()
+    assert (out["n_chars_calc"] == out["n_chars"]).all()   # testdata agrees
+    assert out["quality"].between(0, 1).all()
+    assert out["content_key"].str.len().eq(32).all()
+
+
+def test_langid(ray_session, docs):
+    # NOTE: the testdata `lang` column is a random label over English-ish
+    # jargon text, so we assert the heuristic's own contract instead.
+    out = docs.map_batches(LangId, batch_format="pyarrow",
+                           concurrency=2).to_pandas()
+    assert set(out["lang_pred"]) <= {"en", "fr", "nl", "und"}
+    ds = ray.data.from_items([
+        {"doc_id": 1, "text": "the cat and the dog sat in a house for a while"},
+        {"doc_id": 2, "text": "le chat et le chien sont dans la maison pour un moment"},
+        {"doc_id": 3, "text": "de kat en de hond zijn in het huis met een vriend"},
+        {"doc_id": 4, "text": "zzz qqq xxx"},
+    ])
+    got = ds.map_batches(LangId, batch_format="pyarrow").to_pandas()
+    got = got.set_index("doc_id")["lang_pred"]
+    assert got[1] == "en" and got[2] == "fr" and got[3] == "nl" and got[4] == "und"
+
+
+def test_media_plumbing(ray_session):
+    tbl = synth_media_batch(30, seed=1)
+    ds = ray.data.from_arrow(tbl)
+    feats = ds.map_batches(MediaFeatureExtractor, batch_size=8,
+                           concurrency=2,
+                           fn_constructor_kwargs={"dim": 32},
+                           batch_format="pyarrow").to_pandas()
+    assert len(feats) == 30
+    assert feats["feature"].map(len).eq(32).all()
+    assert "payload" not in feats.columns          # bytes never forwarded
+    # determinism: same payload -> same feature
+    f2 = ds.map_batches(MediaFeatureExtractor, batch_size=16,
+                        fn_constructor_kwargs={"dim": 32},
+                        batch_format="pyarrow").to_pandas()
+    a = feats.sort_values("media_id")["feature"].tolist()
+    b = f2.sort_values("media_id")["feature"].tolist()
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    frames = ds.map_batches(FrameSampler, batch_format="pyarrow").to_pandas()
+    assert (frames["ts_ms"] % 1000 == 0).all()
+    with pytest.raises(NotImplementedError):
+        MediaFeatureExtractor(real=True)
