@@ -157,7 +157,8 @@ def test_langid(ray_session, docs):
         {"doc_id": 3, "text": "de kat en de hond zijn in het huis met een vriend"},
         {"doc_id": 4, "text": "zzz qqq xxx"},
     ])
-    got = ds.map_batches(LangId, batch_format="pyarrow").to_pandas()
+    got = ds.map_batches(LangId, batch_format="pyarrow",
+                         concurrency=1).to_pandas()
     got = got.set_index("doc_id")["lang_pred"]
     assert got[1] == "en" and got[2] == "fr" and got[3] == "nl" and got[4] == "und"
 
