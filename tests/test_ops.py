@@ -174,7 +174,7 @@ def test_media_plumbing(ray_session):
     assert feats["feature"].map(len).eq(32).all()
     assert "payload" not in feats.columns          # bytes never forwarded
     # determinism: same payload -> same feature
-    f2 = ds.map_batches(MediaFeatureExtractor, batch_size=16,
+    f2 = ds.map_batches(MediaFeatureExtractor, batch_size=16, concurrency=1,
                         fn_constructor_kwargs={"dim": 32},
                         batch_format="pyarrow").to_pandas()
     a = feats.sort_values("media_id")["feature"].tolist()
