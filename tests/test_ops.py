@@ -180,7 +180,8 @@ def test_media_plumbing(ray_session):
     a = feats.sort_values("media_id")["feature"].tolist()
     b = f2.sort_values("media_id")["feature"].tolist()
     assert all(np.allclose(x, y) for x, y in zip(a, b))
-    frames = ds.map_batches(FrameSampler, batch_format="pyarrow").to_pandas()
+    frames = ds.map_batches(FrameSampler, batch_format="pyarrow",
+                            concurrency=1).to_pandas()
     assert (frames["ts_ms"] % 1000 == 0).all()
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(real=True)
