@@ -4,13 +4,11 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Neither this module nor the georay library calls ``ray.init()`` /
+``ray.shutdown()`` — sessions are owned by the driver / bench.py / the
+test fixture.
 """
 
 from __future__ import annotations
@@ -20,25 +18,62 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on the sf0.001-scale synthetic interleaved corpus:
+    read documents -> explode spans -> full geocoding cascade (actor pool)
+    -> tile assignment + PIP validation -> kNN rescue.  Returns the
+    span-level result Dataset."""
+    from georay import entrylib
+    return entrylib.q_geo_documents_pipeline("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2 plus
+    the training-data ops.  Callables take ``sf_dir`` and return a
+    Dataset / pandas DataFrame / pyarrow Table."""
+    from georay import entrylib as e
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # generating the synthetic world up front guarantees the oracle's
+    # read_parquet paths exist before either side runs at sf0.01
+    e.ensure_synth("/root/testdata/sf0.01")
+
+    return {
+        # geocoding / spatial (synthetic interleaved world)
+        "geo_span_extract": e.q_geo_span_extract,
+        "geo_span_roundtrip": e.q_geo_span_roundtrip,
+        "geo_exact_match": e.q_geo_exact_match,
+        "geo_tile_assign": e.q_geo_tile_assign,
+        "geo_tile_rollup": e.q_geo_tile_rollup,
+        "geo_knn": e.q_geo_knn,
+        "geo_batch_geocode": e.q_geo_batch_geocode,
+        "geo_documents_pipeline": e.q_geo_documents_pipeline,
+        "geo_method_stats": e.q_geo_method_stats,
+        "geo_hex_rollup": e.q_geo_hex_rollup,
+        "geo_knn_rescue": e.q_geo_knn_rescue,
+        # relational operator parity (testdata)
+        "rel_groupby_agg": e.q_rel_groupby_agg,
+        "rel_top1_per_key": e.q_rel_top1_per_key,
+        "rel_anti_join": e.q_rel_anti_join,
+        "rel_first_event": e.q_rel_first_event,
+        "rel_events_daily": e.q_rel_events_daily,
+        # document / embedding training-data ops (testdata)
+        "doc_dedup_exact": e.q_doc_dedup_exact,
+        "doc_token_stats": e.q_doc_token_stats,
+        "doc_quality": e.q_doc_quality,
+        "doc_langid": e.q_doc_langid,
+        "doc_fingerprint": e.q_doc_fingerprint,
+        "doc_minhash_pairs": e.q_doc_minhash_pairs,
+        "doc_simhash_pairs": e.q_doc_simhash_pairs,
+        "doc_ngram_jaccard": e.q_doc_ngram_jaccard,
+        "emb_topk_brute": e.q_emb_topk_brute,
+        "emb_topk_ivf": e.q_emb_topk_ivf,
+        "emb_dup_pairs": e.q_emb_dup_pairs,
+        "media_features": e.q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per oracle-checkable query; non-SQL ops
+    (cascade, LSH, IVF, langid, fingerprints, media) get the driver's
+    rows-only check."""
+    from georay import entrylib
+    return entrylib.build_oracle_sql()

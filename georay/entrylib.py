@@ -1,0 +1,657 @@
+"""Driver-contract implementations: the ``queries()`` callables and their
+DuckDB ``oracle_sql()`` strings (see ``__ray_entry__.py``).
+
+Two input families:
+
+- the driver's TPC-H-ish testdata tables (documents, embeddings,
+  lineitem, orders, customer, events) — read straight from ``sf_dir``;
+- the synthetic geocoding world (interleaved documents + flat addresses +
+  gazetteer parquet), generated deterministically per scale factor into
+  ``/tmp/georay_synth/<sf>/`` (the BASELINE.json input_hint table shape;
+  no external data).  ``oracle_sql`` strings reference the sf0.01 synth
+  parquet by absolute path — ``queries()`` generation is idempotent and
+  runs before the driver executes either side.
+
+Float-hash discipline: oracle-checked queries never return floats that
+were *computed* differently on the two sides — aggregates use integer
+cents (``floor(x*100+0.5)``), kNN/top-k return ids + ranks, coordinates
+are copied verbatim from the same parquet.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from .cells import SQUARE_CELL_DEG
+from .config import ADDR_KEY, CITY, COUNTRY, HOUSENBR, POSTCODE, STREET, \
+    PipelineConfig
+from .corpus import make_documents
+from .gazetteer import GazetteerSpec, build_gazetteer_tables
+from .textkernels import normalize_street
+
+SYNTH_ROOT = "/tmp/georay_synth"
+
+# sf name -> (n_docs, gazetteer scale factor)
+SF_SCALE = {"sf0.001": (100, 0.5), "sf0.01": (400, 1.0), "sf0.1": (2500, 1.5)}
+
+
+def sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def synth_dir(sf_dir: str) -> str:
+    return os.path.join(SYNTH_ROOT, sf_name(sf_dir))
+
+
+def spec_for(sf_dir: str) -> GazetteerSpec:
+    _, factor = SF_SCALE.get(sf_name(sf_dir), SF_SCALE["sf0.01"])
+    return GazetteerSpec().scaled(factor)
+
+
+def ensure_synth(sf_dir: str) -> str:
+    """Idempotently generate the synthetic world for this scale factor:
+    documents.parquet (interleaved spans), addresses.parquet (flat +
+    truth labels), gazetteer.parquet (places)."""
+    out = synth_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    n_docs, factor = SF_SCALE.get(sf_name(sf_dir), SF_SCALE["sf0.01"])
+    spec = GazetteerSpec().scaled(factor)
+    tmp = out + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    docs, addrs = make_documents(n_docs, spec=spec, seed=7)
+    pq.write_table(docs, os.path.join(tmp, "documents.parquet"))
+    pq.write_table(pa.Table.from_pandas(addrs, preserve_index=False),
+                   os.path.join(tmp, "addresses.parquet"))
+    places, boundaries = build_gazetteer_tables(spec)
+    pq.write_table(pa.Table.from_pandas(places, preserve_index=False),
+                   os.path.join(tmp, "gazetteer.parquet"))
+    bnd = pa.Table.from_pandas(boundaries, preserve_index=False)
+    pq.write_table(bnd, os.path.join(tmp, "boundaries.parquet"))
+    open(os.path.join(tmp, "_SUCCESS"), "w").close()
+    if not os.path.exists(marker):
+        try:
+            os.rename(tmp, out)
+        except OSError:
+            pass  # concurrent generation won the race; outputs identical
+    return out
+
+
+# SQL fragment replicating textkernels.normalize_street
+_SQL_NORM = ("trim(regexp_replace(regexp_replace(upper(strip_accents({col}))"
+             ", '[^A-Z ]+', ' ', 'g'), ' +', ' ', 'g'))")
+
+
+# ---------------------------------------------------------------------------
+# broadcast-side caches (one load per worker process)
+
+@lru_cache(maxsize=8)
+def _exact_index(gaz_path: str) -> dict:
+    g = pq.read_table(gaz_path,
+                      columns=["place_id", "name", "post_code",
+                               "place_rank"]).to_pandas()
+    g = g[g.place_rank == 26]
+    g["k"] = g["name"].map(normalize_street)
+    g = g[g.k != ""]
+    idx = (g.groupby(["k", "post_code"])["place_id"].min())
+    return idx.to_dict()
+
+
+@lru_cache(maxsize=8)
+def _knn_refs(gaz_path: str):
+    g = pq.read_table(gaz_path,
+                      columns=["place_id", "lat", "lon",
+                               "place_rank"]).to_pandas()
+    s = g[g.place_rank == 26]
+    return (s["lat"].to_numpy(), s["lon"].to_numpy(),
+            s["place_id"].to_numpy())
+
+
+# ---------------------------------------------------------------------------
+# geocoding / spatial queries (synthetic world)
+
+def q_geo_span_extract(sf_dir: str):
+    from .spans import explode_spans
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(d, "documents.parquet"))
+    out = ds.map_batches(explode_spans, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "span_idx", "kind", "text",
+                               "media_ref", "offset"])
+
+
+def q_geo_exact_match(sf_dir: str):
+    d = ensure_synth(sf_dir)
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        idx = _exact_index(gaz_path)
+        keys, pids = [], []
+        streets = batch[STREET].to_pylist()
+        pcs = batch[POSTCODE].to_pylist()
+        aks = batch[ADDR_KEY].to_pylist()
+        for ak, st, pcx in zip(aks, streets, pcs):
+            pid = idx.get((normalize_street(st), pcx))
+            if pid is not None:
+                keys.append(ak)
+                pids.append(int(pid))
+        return pa.table({"addr_key": pa.array(keys, pa.string()),
+                         "place_id": pa.array(pids, pa.int64())})
+
+    ds = ray.data.read_parquet(os.path.join(d, "addresses.parquet"),
+                               columns=[ADDR_KEY, STREET, POSTCODE])
+    return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def q_geo_tile_assign(sf_dir: str):
+    from .cells import square_cell
+    d = ensure_synth(sf_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        return pa.table({"place_id": batch["place_id"],
+                         "square_cell": pa.array(square_cell(lat, lon))})
+
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["place_id", "lat", "lon"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_geo_tile_rollup(sf_dir: str):
+    from .tiles import rollup_counts
+    return rollup_counts(q_geo_tile_assign(sf_dir), "square_cell")
+
+
+def q_geo_knn(sf_dir: str):
+    from .geom import haversine_km
+    d = ensure_synth(sf_dir)
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+
+    def knn(batch: pa.Table) -> pa.Table:
+        rlat, rlon, rid = _knn_refs(gaz_path)
+        qlat = batch["lat"].to_numpy(zero_copy_only=False)
+        qlon = batch["lon"].to_numpy(zero_copy_only=False)
+        qid = batch["place_id"].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_r = [], [], []
+        dm = haversine_km(qlat[:, None], qlon[:, None],
+                          rlat[None, :], rlon[None, :])
+        for i in range(len(qid)):
+            order = np.lexsort((rid, dm[i]))[:3]
+            for rank, j in enumerate(order):
+                out_q.append(int(qid[i]))
+                out_n.append(int(rid[j]))
+                out_r.append(rank + 1)
+        return pa.table({"query_place_id": pa.array(out_q, pa.int64()),
+                         "neighbor_place_id": pa.array(out_n, pa.int64()),
+                         "rnk": pa.array(out_r, pa.int64())})
+
+    cities = ray.data.read_parquet(gaz_path,
+                                   columns=["place_id", "lat", "lon",
+                                            "place_rank"])
+    cities = cities.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 16)),
+        batch_format="pyarrow")
+    return cities.map_batches(knn, batch_format="pyarrow")
+
+
+def _geocode_documents_ds(sf_dir: str, with_tiles=True, with_knn=True):
+    from .pipeline import geocode_documents
+    d = ensure_synth(sf_dir)
+    spec = spec_for(sf_dir)
+    docs = ray.data.read_parquet(os.path.join(d, "documents.parquet"))
+    return geocode_documents(docs, spec=spec, cfg=PipelineConfig(),
+                             concurrency=4, batch_size=1024,
+                             with_tiles=with_tiles, with_knn_rescue=with_knn)
+
+
+def q_geo_span_roundtrip(sf_dir: str):
+    from .pipeline import reassemble_documents
+    from .spans import explode_spans
+    res = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
+    docs = reassemble_documents(res)
+
+    def re_explode(batch: pa.Table) -> pa.Table:
+        out = explode_spans(batch.select(["doc_id", "spans"]))
+        return out.select(["doc_id", "span_idx", "kind", "text",
+                           "media_ref", "offset"])
+
+    return docs.map_batches(re_explode, batch_format="pyarrow")
+
+
+def q_geo_batch_geocode(sf_dir: str):
+    from .pipeline import geocode_addresses
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "addresses.parquet"),
+        columns=[ADDR_KEY, STREET, HOUSENBR, POSTCODE, CITY, COUNTRY])
+    out = geocode_addresses(ds, spec=spec_for(sf_dir), concurrency=4,
+                            batch_size=1024)
+    return out.select_columns(
+        ["addr_key", "status", "m_method", "m_reject_reason", "m_place_id",
+         "m_place_rank", "o_lat", "o_lon", "o_street_name", "o_post_code",
+         "hex_cell", "quad_cell", "pip_ok"])
+
+
+def q_geo_documents_pipeline(sf_dir: str):
+    out = _geocode_documents_ds(sf_dir)
+    return out.select_columns(
+        ["doc_id", "span_idx", "addr_key", "status", "m_method",
+         "m_place_id", "m_place_rank", "o_lat", "o_lon", "hex_cell",
+         "quad_cell", "pip_ok"])
+
+
+def q_geo_method_stats(sf_dir: str):
+    from .tiles import rollup_counts
+    out = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
+    match = out.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["status"], "match")),
+        batch_format="pyarrow")
+    return rollup_counts(match, "m_method")
+
+
+def q_geo_hex_rollup(sf_dir: str):
+    from .tiles import rollup_counts_salted
+    out = _geocode_documents_ds(sf_dir, with_knn=False)
+    match = out.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["status"], "match")),
+        batch_format="pyarrow")
+    return rollup_counts_salted(match, "hex_cell")
+
+
+def q_geo_knn_rescue(sf_dir: str):
+    out = _geocode_documents_ds(sf_dir, with_tiles=False)
+    um = out.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["status"], "unmatched")),
+        batch_format="pyarrow")
+    return um.select_columns(["addr_key", "street_name", "post_code",
+                              "knn_place_ids", "knn_streets", "knn_scores"])
+
+
+# ---------------------------------------------------------------------------
+# relational operator parity (testdata tables)
+
+def q_rel_groupby_agg(sf_dir: str):
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["rev_c"] = np.floor(df["l_extendedprice"].to_numpy()
+                               * (1.0 - df["l_discount"].to_numpy())
+                               * 100.0 + 0.5).astype(np.int64)
+        df["qty"] = df["l_quantity"].astype(np.int64)
+        g = (df.groupby(["l_returnflag", "l_linestatus"], sort=False)
+               .agg(sum_qty=("qty", "sum"), sum_rev_c=("rev_c", "sum"),
+                    n=("qty", "size")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (partials.groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                       Sum("sum_rev_c", alias_name="sum_rev_c"),
+                       Sum("n", alias_name="n")))
+
+
+def q_rel_top1_per_key(sf_dir: str):
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort")
+        return pa.Table.from_pandas(df.drop_duplicates("o_custkey"),
+                                    preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_totalprice", "o_orderkey"],
+                          ascending=[False, True], kind="mergesort")
+        return g.head(1)
+
+    return partials.groupby("o_custkey").map_groups(final,
+                                                    batch_format="pandas")
+
+
+def q_rel_anti_join(sf_dir: str):
+    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                                   columns=["o_custkey"])
+    have = set(orders.unique("o_custkey"))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        mask = pa.array([c not in have
+                         for c in batch["c_custkey"].to_pylist()],
+                        pa.bool_())
+        return batch.filter(mask).select(["c_custkey"])
+
+    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                                 columns=["c_custkey"])
+    pdf = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
+    if pdf.empty:  # all customers ordered — keep the typed schema
+        return pa.table({"c_custkey": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_rel_first_event(sf_dir: str):
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(["user_id", "ts", "event_id"],
+                                           kind="mergesort")
+        return pa.Table.from_pandas(df.drop_duplicates("user_id"),
+                                    preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return g[["user_id", "event_id"]].head(1)
+
+    return partials.groupby("user_id").map_groups(final,
+                                                  batch_format="pandas")
+
+
+def q_rel_events_daily(sf_dir: str):
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        g = (df.groupby(["event_type", "day"], sort=False)
+               .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (partials.groupby(["event_type", "day"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+# ---------------------------------------------------------------------------
+# document / embedding ops (testdata tables)
+
+def q_doc_dedup_exact(sf_dir: str):
+    from .ops.dedup import exact_duplicates
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pdf = exact_duplicates(ds).to_pandas()
+    if pdf.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "keeper_id": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf[["doc_id", "keeper_id"]],
+                                preserve_index=False)
+
+
+def q_doc_token_stats(sf_dir: str):
+    from .ops.text import token_stats
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(token_stats, batch_format="pyarrow")
+
+    def punct(batch: pa.Table) -> pa.Table:
+        import re
+        n_punct = [len(re.findall(r"[^\w\s]", t or ""))
+                   for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_tokens": batch["n_tokens"],
+                         "n_chars_calc": batch["n_chars_calc"],
+                         "n_punct": pa.array(n_punct, pa.int64())})
+
+    return out.map_batches(punct, batch_format="pyarrow")
+
+
+def q_doc_quality(sf_dir: str):
+    from .ops.text import quality_score
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(quality_score, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "quality"])
+
+
+def q_doc_langid(sf_dir: str):
+    from .ops.text import LangId
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
+    return out.select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    from .ops.text import rolling_fingerprint
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(rolling_fingerprint, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"])
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    from .ops.dedup import minhash_lsh_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pdf = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    if pdf.empty:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf[["id_a", "id_b"]], preserve_index=False)
+
+
+def q_doc_simhash_pairs(sf_dir: str):
+    from .ops.dedup import simhash_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pdf = simhash_pairs(ds, max_hamming=3).to_pandas()
+    if pdf.empty:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_doc_ngram_jaccard(sf_dir: str):
+    from .ops.dedup import ngram_jaccard_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pdf = ngram_jaccard_pairs(ds, threshold=0.6).to_pandas()
+    if pdf.empty:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf[["id_a", "id_b"]], preserve_index=False)
+
+
+def _first_queries(sf_dir: str, n=5) -> np.ndarray:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    pdf = t.to_pandas().sort_values("vec_id").head(n)
+    return np.array(pdf["embedding"].tolist(), dtype=np.float64)
+
+
+def q_emb_topk_brute(sf_dir: str):
+    from .ops.similarity import topk_cosine_brute
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = topk_cosine_brute(ds, _first_queries(sf_dir), k=5).to_pandas()
+    out = out[["query_id", "vec_id", "rank"]].rename(columns={"rank": "rnk"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_emb_topk_ivf(sf_dir: str):
+    from .ops.similarity import kmeans_lite, topk_cosine_ivf
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mat = np.array(t.to_pandas()["embedding"].tolist(), dtype=np.float64)
+    cents = kmeans_lite(mat[:256], n_clusters=8)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    out = topk_cosine_ivf(ds, _first_queries(sf_dir), cents, k=5,
+                          n_probe=4).to_pandas()
+    return pa.Table.from_pandas(out[["query_id", "vec_id", "rank"]]
+                                .rename(columns={"rank": "rnk"}),
+                                preserve_index=False)
+
+
+def q_emb_dup_pairs(sf_dir: str):
+    from .ops.dedup import embedding_dup_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    pdf = embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+    if pdf.empty:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf[["id_a", "id_b"]], preserve_index=False)
+
+
+def q_media_features(sf_dir: str):
+    from .ops.multimodal import MediaFeatureExtractor, synth_media_batch
+    ds = ray.data.from_arrow(synth_media_batch(200, seed=3)).repartition(4)
+    out = ds.map_batches(MediaFeatureExtractor, batch_size=32, concurrency=2,
+                         fn_constructor_kwargs={"dim": 16},
+                         batch_format="pyarrow")
+    return out.select_columns(["media_id", "kind", "feature_dim"])
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+def build_oracle_sql() -> dict[str, str]:
+    s01 = os.path.join(SYNTH_ROOT, "sf0.01")
+    docs = f"read_parquet('{s01}/documents.parquet')"
+    addrs = f"read_parquet('{s01}/addresses.parquet')"
+    gaz = f"read_parquet('{s01}/gazetteer.parquet')"
+    norm_name = _SQL_NORM.format(col="name")
+    norm_street = _SQL_NORM.format(col="street_name")
+    w = int(round(360.0 / SQUARE_CELL_DEG))
+    span_unnest = f"""
+        with u as (
+            select doc_id, unnest(spans) s,
+                   unnest(range(1, len(spans)+1)) ord
+            from {docs})
+        select doc_id, cast(ord-1 as int) span_idx, s.kind as kind,
+               s.text as text, s.media_ref as media_ref, s.offset as offset
+        from u"""
+    return {
+        "geo_span_extract": span_unnest,
+        "geo_span_roundtrip": span_unnest,
+        "geo_exact_match": f"""
+            with g as (
+                select {norm_name} k, post_code, min(place_id) place_id
+                from {gaz} where place_rank = 26 and {norm_name} <> ''
+                group by 1, 2),
+            a as (select addr_key, {norm_street} k, post_code from {addrs})
+            select a.addr_key, g.place_id
+            from a join g on a.k = g.k and a.post_code = g.post_code""",
+        "geo_tile_assign": f"""
+            select place_id,
+                   cast(floor((lat+90)/{SQUARE_CELL_DEG}) as bigint)*{w}
+                   + cast(floor((lon+180)/{SQUARE_CELL_DEG}) as bigint)
+                   as square_cell
+            from {gaz}""",
+        "geo_tile_rollup": f"""
+            select cast(floor((lat+90)/{SQUARE_CELL_DEG}) as bigint)*{w}
+                   + cast(floor((lon+180)/{SQUARE_CELL_DEG}) as bigint)
+                   as square_cell,
+                   count(*) as n
+            from {gaz} group by 1""",
+        "geo_knn": f"""
+            with c as (select place_id, lat, lon from {gaz}
+                       where place_rank = 16),
+            s as (select place_id, lat, lon from {gaz}
+                  where place_rank = 26),
+            d as (select c.place_id q, s.place_id nb,
+                         row_number() over (partition by c.place_id order by
+                           2*6371.0088*asin(sqrt(
+                             pow(sin(radians(s.lat-c.lat)/2),2)
+                             + cos(radians(c.lat))*cos(radians(s.lat))
+                               *pow(sin(radians(s.lon-c.lon)/2),2)))
+                           asc, s.place_id asc) rnk
+                  from c, s)
+            select q as query_place_id, nb as neighbor_place_id, rnk
+            from d where rnk <= 3""",
+        "rel_groupby_agg": """
+            select l_returnflag, l_linestatus,
+                   sum(cast(l_quantity as bigint)) as sum_qty,
+                   sum(cast(floor(l_extendedprice*(1-l_discount)*100+0.5)
+                            as bigint)) as sum_rev_c,
+                   count(*) as n
+            from lineitem group by 1, 2""",
+        "rel_top1_per_key": """
+            with r as (select o_custkey, o_orderkey, o_totalprice,
+                              row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey asc)
+                              rn
+                       from orders)
+            select o_custkey, o_orderkey, o_totalprice
+            from r where rn = 1""",
+        "rel_anti_join": """
+            select c_custkey from customer
+            where not exists (select 1 from orders
+                              where o_custkey = c_custkey)""",
+        "rel_first_event": """
+            with r as (select user_id, event_id,
+                              row_number() over (partition by user_id
+                                order by ts asc, event_id asc) rn
+                       from events)
+            select user_id, event_id from r where rn = 1""",
+        "rel_events_daily": """
+            select event_type, strftime(ts, '%Y-%m-%d') as day,
+                   count(*) as n
+            from events group by 1, 2""",
+        "doc_dedup_exact": """
+            with k as (select doc_id, md5(text) content_key from documents),
+            g as (select doc_id,
+                         min(doc_id) over (partition by content_key) keeper_id,
+                         count(*) over (partition by content_key) cnt
+                  from k)
+            select doc_id, keeper_id from g
+            where cnt > 1 and doc_id <> keeper_id""",
+        "doc_token_stats": r"""
+            select doc_id,
+                   cast(case when trim(text) = '' then 0
+                        else len(regexp_split_to_array(trim(text), '\s+'))
+                        end as bigint) as n_tokens,
+                   cast(length(text) as bigint) as n_chars_calc,
+                   cast(length(regexp_replace(text, '[\w\s]', '', 'g'))
+                        as bigint) as n_punct
+            from documents""",
+        "doc_quality": r"""
+            with s as (
+              select doc_id, text,
+                     case when trim(text) = '' then 0
+                          else len(regexp_split_to_array(trim(text), '\s+'))
+                     end ntok,
+                     length(regexp_replace(text, '[\w\s]', '', 'g')) npunct,
+                     length(regexp_replace(text, '\s', '', 'g')) nchnw,
+                     length(text) nch
+              from documents)
+            select doc_id,
+                   round(
+                     (case when ntok between 5 and 10000 then 0.4 else 0.0 end)
+                   + (case when npunct < 0.2 * greatest(nch, 1)
+                           then 0.3 else 0.0 end)
+                   + (case when ntok > 0
+                               and nchnw >= 3.0 * ntok
+                               and nchnw <= 12.0 * ntok
+                           then 0.3 else 0.0 end), 3) as quality
+            from s""",
+        "emb_topk_brute": """
+            with q as (select vec_id qid, embedding qe from embeddings
+                       where vec_id < 5),
+            d as (select q.qid, e.vec_id,
+                         row_number() over (partition by q.qid order by
+                           list_cosine_similarity(q.qe, e.embedding) desc,
+                           e.vec_id asc) rnk
+                  from q, embeddings e)
+            select qid as query_id, vec_id, rnk from d where rnk <= 5""",
+    }

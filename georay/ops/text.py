@@ -65,11 +65,12 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
         s = 0.0
         if 5 <= n <= 10000:
             s += 0.4
-        punct = len(_PUNCT.findall(t)) / max(len(t), 1)
-        if punct < 0.2:
+        # multiplication form (not ratio) so the SQL oracle's float
+        # comparisons are bit-identical: npunct < 0.2*nch
+        if len(_PUNCT.findall(t)) < 0.2 * max(len(t), 1):
             s += 0.3
-        mwl = (sum(len(x) for x in toks) / n) if n else 0.0
-        if 3.0 <= mwl <= 12.0:
+        nchnw = sum(len(x) for x in toks)
+        if n > 0 and 3.0 * n <= nchnw <= 12.0 * n:
             s += 0.3
         score[i] = round(s, 3)
     return batch.append_column("quality", pa.array(score))
