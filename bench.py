@@ -1,0 +1,191 @@
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR at
+$RAY_GRAFT_CPUS, printing ONE JSON line.
+
+    python bench.py                 # one measured run
+    python bench.py --scaling       # same job at 8 and 32 CPUs in fresh
+                                    # subprocesses + scaling efficiency
+
+Headline: geocoded docs/sec — read the (cached, deterministically
+synthesized) interleaved corpus -> explode spans -> cascade actor pool
+-> tiles + PIP -> kNN rescue -> hex tile rollup (the consuming
+aggregate).  Sub-benches: MinHash-LSH dedup over the corpus text spans,
+brute-force cosine top-k over synthetic embeddings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_dir() -> str:
+    return os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _num_cpus() -> int:
+    return int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _bench_docs(sf_name: str) -> int:
+    env = os.environ.get("GEORAY_BENCH_DOCS")
+    if env:
+        return int(env)
+    return {"sf0.001": 2000, "sf0.01": 12000, "sf0.1": 60000}.get(sf_name, 60000)
+
+
+def run_bench() -> dict:
+    import ray
+    num_cpus = _num_cpus()
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from georay.config import PipelineConfig
+    from georay.corpus import write_bench_corpus
+    from georay.entrylib import sf_name, spec_for
+    from georay.ops.dedup import minhash_lsh_pairs
+    from georay.ops.similarity import topk_cosine_brute
+    from georay.pipeline import geocode_documents
+    from georay.tiles import rollup_counts
+
+    sf_dir = _sf_dir()
+    sfn = sf_name(sf_dir)
+    n_docs = _bench_docs(sfn)
+    spec = spec_for(sf_dir)
+
+    corpus_dir = f"/tmp/georay_bench/{sfn}_{n_docs}"
+    t0 = time.time()
+    write_bench_corpus(corpus_dir, n_docs, spec=spec)
+    gen_sec = round(time.time() - t0, 2)
+
+    queries: dict[str, float] = {}
+
+    # -- headline: geocode pipeline ------------------------------------
+    # leave ~1/4 of the node for the read tasks, annotator pools and
+    # rollup partials — a pool that reserves every CPU deadlocks the
+    # streaming executor (1-CPU read tasks can never schedule)
+    cascade_conc = max(4, (num_cpus * 3) // 4)
+    t0 = time.time()
+    docs = ray.data.read_parquet(corpus_dir)
+    res = geocode_documents(docs, spec=spec, cfg=PipelineConfig(),
+                            concurrency=cascade_conc, batch_size=1024)
+    match = res.map_batches(
+        lambda b: b.filter(pc.equal(b["status"], "match")),
+        batch_format="pyarrow")
+    rollup = rollup_counts(match, "hex_cell").to_pandas()
+    t_geo = time.time() - t0
+    n_match = int(rollup["n"].sum())
+    queries["geocode_pipeline"] = round(t_geo, 3)
+
+    # -- minhash dedup over corpus text spans --------------------------
+    from georay.spans import explode_spans
+    t0 = time.time()
+    # address spans: mostly-unique strings with genuine near-dups (the
+    # same street in many documents) — template prose would make every
+    # LSH bucket a mass-duplicate group and the pair set quadratic
+    spans = (ray.data.read_parquet(corpus_dir)
+             .map_batches(explode_spans, batch_format="pyarrow")
+             .map_batches(lambda b: b.filter(b["is_address"]).select(
+                 ["addr_key", "text"]).rename_columns(["doc_id", "text"]),
+                 batch_format="pyarrow")
+             .limit(30000))
+    pairs = minhash_lsh_pairs(spans, threshold=0.8)
+    n_pairs = pairs.count()
+    t_dedup = time.time() - t0
+    queries["minhash_dedup"] = round(t_dedup, 3)
+
+    # -- ANN: brute cosine top-k over synthetic embeddings -------------
+    n_vec = int(os.environ.get("GEORAY_BENCH_VECS", "200000"))
+
+    def gen_vec(batch: pa.Table) -> pa.Table:
+        out = []
+        ids = []
+        for bid in batch["id"].to_pylist():
+            rng = np.random.default_rng(1000 + bid)
+            block = 2000
+            base = bid * block
+            v = rng.standard_normal((block, 64)).astype(np.float32)
+            out.append(v)
+            ids.extend(range(base, base + block))
+        m = np.vstack(out)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "embedding": pa.array(m.tolist(),
+                                               pa.list_(pa.float32()))})
+
+    t0 = time.time()
+    vecs = (ray.data.range(n_vec // 2000, override_num_blocks=max(8, num_cpus))
+            .map_batches(gen_vec, batch_size=4, batch_format="pyarrow"))
+    qrng = np.random.default_rng(5)
+    qmat = qrng.standard_normal((16, 64))
+    ann = topk_cosine_brute(vecs, qmat, k=10)
+    n_ann = ann.count()
+    t_ann = time.time() - t0
+    queries["ann_topk"] = round(t_ann, 3)
+
+    total = round(sum(queries.values()), 3)
+    out = {
+        "metric": "e2e_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sfn,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_matches": n_match,
+        "docs_per_sec": round(n_docs / t_geo, 1),
+        "minhash_rows": 30000,
+        "minhash_pairs": int(n_pairs),
+        "ann_vectors": n_vec,
+        "ann_results": int(n_ann),
+        "corpus_gen_sec": gen_sec,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Same job at two parallelism levels in fresh processes (the sandbox
+    substitute for N vs 4N nodes, BASELINE.md)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        p = subprocess.run([sys.executable, __file__], env=env,
+                           capture_output=True, text=True, timeout=3600)
+        line = [ln for ln in p.stdout.strip().splitlines()
+                if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    thr8 = results[8]["docs_per_sec"]
+    thr32 = results[32]["docs_per_sec"]
+    speedup = thr32 / thr8
+    eff = speedup / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {"geocode_8cpu_sec": results[8]["queries"]["geocode_pipeline"],
+                    "geocode_32cpu_sec": results[32]["queries"]["geocode_pipeline"]},
+        "sf": results[32]["sf"],
+        "num_cpus": 32,
+        "docs_per_sec_8": thr8,
+        "docs_per_sec_32": thr32,
+        "speedup_8_to_32": round(speedup, 3),
+        "efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -135,6 +135,42 @@ def make_addresses(n: int, spec: GazetteerSpec | None = None,
     return pd.DataFrame(rows)
 
 
+def write_bench_corpus(out_dir: str, n_docs: int,
+                       spec: GazetteerSpec | None = None,
+                       shard_docs: int = 1000, seed: int = 7) -> str:
+    """Distributed, deterministic corpus synthesis: each Ray task builds
+    one shard with ``make_documents(seed + shard)`` and a shard-prefixed
+    doc_id, written as one parquet partition.  Idempotent (marker file);
+    generation parallelizes across the cluster instead of the driver."""
+    import os
+
+    import ray.data
+
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    n_shards = max(1, (n_docs + shard_docs - 1) // shard_docs)
+    spec = spec or GazetteerSpec()
+
+    def gen(batch) -> pa.Table:
+        tables = []
+        for shard in batch["id"].to_pylist():
+            docs, _ = make_documents(min(shard_docs, n_docs - shard * shard_docs),
+                                     spec=spec, seed=seed + shard)
+            prefix = f"s{shard:05d}_"
+            doc_ids = pa.array([prefix + d for d in
+                                docs["doc_id"].to_pylist()], pa.string())
+            tables.append(pa.table({"doc_id": doc_ids,
+                                    "spans": docs["spans"]}))
+        return pa.concat_tables(tables)
+
+    (ray.data.range(n_shards, override_num_blocks=n_shards)
+        .map_batches(gen, batch_size=1, batch_format="pyarrow")
+        .write_parquet(out_dir))
+    open(marker, "w").close()
+    return out_dir
+
+
 def make_documents(n_docs: int, spec: GazetteerSpec | None = None,
                    seed: int = 7, addrs_per_doc: int = 2
                    ) -> tuple[pa.Table, pd.DataFrame]:

@@ -318,13 +318,14 @@ def q_rel_top1_per_key(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_totalprice", "o_orderkey"],
-                          ascending=[False, True], kind="mergesort")
-        return g.head(1)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.drop_duplicates("o_custkey")
 
-    return partials.groupby("o_custkey").map_groups(final,
-                                                    batch_format="pandas")
+    from .shuffle import grouped_map
+    return grouped_map(partials, "o_custkey", final, num_partitions=16,
+                       group_fn=False)
 
 
 def q_rel_anti_join(sf_dir: str):
@@ -358,12 +359,13 @@ def q_rel_first_event(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        return g[["user_id", "event_id"]].head(1)
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return df.drop_duplicates("user_id")[["user_id", "event_id"]]
 
-    return partials.groupby("user_id").map_groups(final,
-                                                  batch_format="pandas")
+    from .shuffle import grouped_map
+    return grouped_map(partials, "user_id", final, num_partitions=16,
+                       group_fn=False)
 
 
 def q_rel_events_daily(sf_dir: str):

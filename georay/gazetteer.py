@@ -222,12 +222,15 @@ class Gazetteer:
         self.city_by_pc: dict[str, int] = {}
         self.city_by_name: dict[str, int] = {}
         self.trigram: dict[str, list[int]] = {}
+        self.norm_variants: dict[int, tuple[str, ...]] = {}
+        self._cand_cache: dict[tuple, list] = {}
         streets = places[places.place_rank == 26]
         for r in streets.to_dict("records"):
             pid = r["place_id"]
             pc = r["post_code"]
             cityn = normalize_street(r["post_name"])
             variants = {r["name"], r["name_fr"], r["name_nl"], r["street_name"]}
+            norms = set()
             for v in variants:
                 if not v:
                     continue
@@ -235,10 +238,12 @@ class Gazetteer:
                     key = normalize_street(part)
                     if not key:
                         continue
+                    norms.add(key)
                     self.exact.setdefault((key, pc), []).append(pid)
                     self.exact.setdefault((key, cityn), []).append(pid)
                     for t in _trigrams(key):
                         self.trigram.setdefault(t, []).append(pid)
+            self.norm_variants[pid] = tuple(sorted(norms))
         for lst in self.exact.values():
             lst.sort()
         for lst in self.trigram.values():
@@ -320,7 +325,13 @@ class Gazetteer:
                            ) -> list[tuple[float, int]]:
         """(score, street place_id) candidates: exact name hits, plus — only
         when ``fuzzy`` (the Photon path; Nominatim-style ``search`` is
-        strict about typos) — trigram + Jaro-Winkler candidates."""
+        strict about typos) — trigram + Jaro-Winkler candidates.  Results
+        are memoized per (street, pc, city) — Zipf-skewed corpora repeat
+        queries heavily."""
+        ck = (street, postcode, city, limit, fuzzy)
+        hit = self._cand_cache.get(ck)
+        if hit is not None:
+            return hit
         keys = []
         for part in re.sub(",", " - ", street or "").split(" - "):
             k = normalize_street(part)
@@ -343,7 +354,7 @@ class Gazetteer:
                 for t in tg:
                     for pid in self.trigram.get(t, []):
                         votes[pid] = votes.get(pid, 0) + 1
-            cand = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+            cand = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[:80]
             for pid, _ in cand:
                 rec = self.by_id[pid]
                 if pcn and rec["post_code"] == pcn:
@@ -355,15 +366,18 @@ class Gazetteer:
                 if not loc_ok:
                     continue
                 best = 0.0
-                for v in (rec["name"], rec["name_fr"], rec["name_nl"]):
-                    if v:
-                        for k in keys:
-                            best = max(best, jaro_winkler(normalize_street(v), k))
+                for nv in self.norm_variants.get(pid, ()):
+                    for k in keys:
+                        jw = jaro_winkler(nv, k)
+                        if jw > best:
+                            best = jw
                 if best >= 0.82:
                     out[pid] = max(out.get(pid, 0.0), best)
         ranked = sorted(((s, pid) for pid, s in out.items()),
-                        key=lambda t: (-t[0], t[1]))
-        return ranked[:limit]
+                        key=lambda t: (-t[0], t[1]))[:limit]
+        if len(self._cand_cache) < (1 << 16):
+            self._cand_cache[ck] = ranked
+        return ranked
 
     def search_structured(self, street: str = "", housenumber: str = "",
                           postcode: str = "", city: str = "", country: str = "",

@@ -94,16 +94,25 @@ class PolygonIndex:
         lat = np.asarray(lat, dtype=np.float64)
         lon = np.asarray(lon, dtype=np.float64)
         out: list[str | None] = [None] * len(lat)
-        # group points by grid cell, then test each candidate polygon once
-        # per group (vectorized over the group's points)
-        cell_pts: dict[tuple[int, int], list[int]] = {}
-        for i in range(len(lat)):
-            cell_pts.setdefault(self._cell(lat[i], lon[i]), []).append(i)
+        # vectorized grid-cell assignment, then one candidate-polygon pass
+        # per occupied cell (vectorized over the cell's points)
+        g = self.grid
+        gy = np.clip((lat - self.lat0) / max(self.lat1 - self.lat0, 1e-12) * g,
+                     0, g - 1).astype(np.int64)
+        gx = np.clip((lon - self.lon0) / max(self.lon1 - self.lon0, 1e-12) * g,
+                     0, g - 1).astype(np.int64)
+        code = gy * g + gx
+        order = np.argsort(code, kind="stable")
+        bounds = np.flatnonzero(np.r_[True, np.diff(code[order]) != 0])
+        cell_pts = {}
+        for s, e in zip(bounds, np.r_[bounds[1:], len(order)] if len(order) else []):
+            idx = order[s:e]
+            cell_pts[(int(gy[idx[0]]), int(gx[idx[0]]))] = idx
         for cell, idxs in cell_pts.items():
             cand = self.cells.get(cell)
             if not cand:
                 continue
-            ii = np.array(idxs)
+            ii = np.asarray(idxs)
             la, lo = lat[ii], lon[ii]
             undecided = np.ones(len(ii), dtype=bool)
             for pi in cand:

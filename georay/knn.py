@@ -32,8 +32,10 @@ class KnnRescuer:
     top-k gazetteer street suggestions by Jaro-Winkler + token-sort score,
     searched within the postcode-prefix bucket (falls back to global)."""
 
-    def __init__(self, spec: GazetteerSpec | None = None, k: int = 3):
+    def __init__(self, spec: GazetteerSpec | None = None, k: int = 3,
+                 prefilter: int = 100):
         self.k = k
+        self.prefilter = prefilter
         gaz = get_gazetteer(spec or GazetteerSpec())
         streets = gaz.places[gaz.places.place_rank == 26]
         self.names = streets["name"].map(normalize_street).to_numpy()
@@ -43,11 +45,29 @@ class KnnRescuer:
         pref = streets["post_code"].astype(str).str[:2].to_numpy()
         for p in np.unique(pref):
             self.pc_prefix[p] = np.flatnonzero(pref == p)
+        # trigram posting lists: candidate pre-filter so a bucket miss
+        # never degenerates into a full-gazetteer Jaro-Winkler scan
+        self.trigram: dict[str, list[int]] = {}
+        for i, nm in enumerate(self.names):
+            s = f"  {nm} "
+            for t in {s[j:j + 3] for j in range(len(s) - 2)}:
+                self.trigram.setdefault(t, []).append(i)
 
     def _score_one(self, street: str, idxs: np.ndarray) -> list[tuple[float, int]]:
         q = normalize_street(street)
         if not q:
             return []
+        if len(idxs) > self.prefilter:
+            s = f"  {q} "
+            votes: dict[int, int] = {}
+            allowed = set(idxs.tolist())
+            for t in {s[j:j + 3] for j in range(len(s) - 2)}:
+                for i in self.trigram.get(t, []):
+                    if i in allowed:
+                        votes[i] = votes.get(i, 0) + 1
+            idxs = [i for i, _ in sorted(votes.items(),
+                                         key=lambda kv: (-kv[1], kv[0])
+                                         )[:self.prefilter]]
         scored = []
         for i in idxs:
             name = self.names[i]
@@ -57,26 +77,31 @@ class KnnRescuer:
         return scored[:self.k]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        n = len(df)
-        sugg_ids = [[] for _ in range(n)]
-        sugg_names = [[] for _ in range(n)]
-        sugg_scores = [[] for _ in range(n)]
-        todo = df.index[(df[STATUS] == "unmatched") & (df[STREET] != "")]
-        for pos, i in enumerate(todo):
-            pref = str(df.at[i, POSTCODE])[:2]
-            idxs = self.pc_prefix.get(pref)
-            if idxs is None or len(idxs) == 0:
-                idxs = np.arange(len(self.names))
-            top = self._score_one(df.at[i, STREET], idxs)
-            loc = df.index.get_loc(i)
-            sugg_ids[loc] = [int(self.place_ids[j]) for _, j in top]
-            sugg_names[loc] = [str(self.street_names[j]) for _, j in top]
-            sugg_scores[loc] = [round(float(s), 4) for s, _ in top]
-        df["knn_place_ids"] = sugg_ids
-        df["knn_streets"] = sugg_names
-        df["knn_scores"] = sugg_scores
-        return pa.Table.from_pandas(df, preserve_index=False)
+        import pyarrow.compute as pac
+        n = len(batch)
+        sugg_ids: list[list[int]] = [[] for _ in range(n)]
+        sugg_names: list[list[str]] = [[] for _ in range(n)]
+        sugg_scores: list[list[float]] = [[] for _ in range(n)]
+        mask = pac.and_(pac.equal(batch[STATUS], "unmatched"),
+                        pac.not_equal(batch[STREET], ""))
+        todo = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        if len(todo):
+            streets = batch[STREET].take(pa.array(todo)).to_pylist()
+            pcs = batch[POSTCODE].take(pa.array(todo)).to_pylist()
+            for street, pcx, loc in zip(streets, pcs, todo):
+                idxs = self.pc_prefix.get(str(pcx)[:2])
+                if idxs is None or len(idxs) == 0:
+                    idxs = np.arange(len(self.names))
+                top = self._score_one(street, idxs)
+                sugg_ids[loc] = [int(self.place_ids[j]) for _, j in top]
+                sugg_names[loc] = [str(self.street_names[j]) for _, j in top]
+                sugg_scores[loc] = [round(float(s), 4) for s, _ in top]
+        out = batch.append_column("knn_place_ids",
+                                  pa.array(sugg_ids, pa.list_(pa.int64())))
+        out = out.append_column("knn_streets",
+                                pa.array(sugg_names, pa.list_(pa.string())))
+        return out.append_column("knn_scores",
+                                 pa.array(sugg_scores, pa.list_(pa.float64())))
 
 
 def knn_points_broadcast(query_df: pd.DataFrame, ref_lat: np.ndarray,

@@ -85,26 +85,31 @@ def exact_duplicates(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=[id_col, "keeper_id", "content_key"])
-        g = g.sort_values(id_col, kind="mergesort")
-        keeper = g[id_col].iloc[0]
-        rest = g.iloc[1:]
-        return pd.DataFrame({id_col: rest[id_col],
-                             "keeper_id": keeper,
-                             "content_key": rest["content_key"]})
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort")
+        keeper = df.groupby("content_key")[id_col].transform("min")
+        rest = df[df[id_col] != keeper]
+        return pd.DataFrame({id_col: rest[id_col].to_numpy(),
+                             "keeper_id": keeper[rest.index].to_numpy(),
+                             "content_key": rest["content_key"].to_numpy()})
 
-    return keyed.groupby("content_key").map_groups(per_group,
-                                                   batch_format="pandas")
+    from ..shuffle import grouped_map
+    return grouped_map(keyed, "content_key", per_partition, group_fn=False)
 
 
 def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
                       threshold: float = 0.5, shingle_n: int = 3,
-                      id_col: str = "doc_id", text_col: str = "text"
-                      ) -> "ray.data.Dataset":
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_bucket: int = 64) -> "ray.data.Dataset":
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold) via
-    banded MinHash-LSH; one shuffle on the band bucket key."""
+    banded MinHash-LSH; one shuffle on the band bucket key.
+
+    Skew guard: a bucket larger than ``max_bucket`` (mass-duplicated
+    content — template boilerplate) switches from all-pairs to hub-and-
+    spoke — every member is compared only against the bucket's minimum
+    id.  Output stays linear in the bucket size and duplicate groups
+    remain connected through the hub, at the cost of not enumerating
+    every intra-group pair (explicit cap, not a silent one)."""
     rows_per_band = k // bands
 
     def to_buckets(batch: pa.Table) -> pa.Table:
@@ -126,26 +131,33 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         out = []
-        if len(g) >= 2:
+        for _, g in df.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
             g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
             sigs = np.array(g["minhash"].tolist())
             ids = g[id_col].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    est = float((sigs[i] == sigs[j]).mean())
-                    if est >= threshold:
-                        out.append((ids[i], ids[j], est))
+            if len(ids) > max_bucket:   # hub-and-spoke for mega-buckets
+                hub = sigs[0]
+                est = (sigs[1:] == hub[None, :]).mean(axis=1)
+                for off in np.flatnonzero(est >= threshold):
+                    out.append((ids[0], ids[1 + off], float(est[off])))
+            else:
+                for i in range(len(ids)):
+                    sim = (sigs[i + 1:] == sigs[i][None, :]).mean(axis=1)
+                    for off in np.flatnonzero(sim >= threshold):
+                        out.append((ids[i], ids[i + 1 + off],
+                                    float(sim[off])))
         return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
 
-    pairs = buckets.groupby("bucket").map_groups(per_bucket,
-                                                 batch_format="pandas")
-    # same pair can surface from several bands -> dedup on (id_a, id_b)
-    def dd(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dd,
-                                                      batch_format="pandas")
+    from ..shuffle import grouped_map
+    pairs = grouped_map(buckets, "bucket", per_partition, group_fn=False)
+    # same pair surfaces from several bands -> one-pass partitioned
+    # distinct (values identical per pair)
+    from ..shuffle import distinct_on
+    return distinct_on(pairs, ["id_a", "id_b"])
 
 
 def simhash64(text: str) -> np.uint64:
@@ -165,10 +177,11 @@ def simhash64(text: str) -> np.uint64:
 
 
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
-                  id_col: str = "doc_id", text_col: str = "text"
-                  ) -> "ray.data.Dataset":
+                  id_col: str = "doc_id", text_col: str = "text",
+                  max_bucket: int = 512) -> "ray.data.Dataset":
     """Near-dup pairs with Hamming(simhash) <= max_hamming; bucketed on
-    the 4 16-bit chunks (pigeonhole guarantee for <=3 bit flips)."""
+    the 4 16-bit chunks (pigeonhole guarantee for <=3 bit flips).
+    Mega-buckets fall back to hub-and-spoke (see minhash_lsh_pairs)."""
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids, bkt, sh = [], [], []
         for i, t in enumerate(batch[text_col].to_pylist()):
@@ -184,22 +197,24 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         out = []
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-        vals = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        ids = g[id_col].tolist()
-        for i in range(len(ids)):
-            x = vals[i] ^ vals[i + 1:]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for off in np.flatnonzero(ham <= max_hamming):
-                out.append((ids[i], ids[i + 1 + off], int(ham[off])))
+        for _, g in df.groupby("bucket", sort=False):
+            g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+            vals = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
+            ids = g[id_col].tolist()
+            upper = 1 if len(ids) > max_bucket else len(ids)
+            for i in range(upper):
+                x = vals[i] ^ vals[i + 1:]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for off in np.flatnonzero(ham <= max_hamming):
+                    out.append((ids[i], ids[i + 1 + off], int(ham[off])))
         return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
 
-    pairs = buckets.groupby("bucket").map_groups(per_bucket,
-                                                 batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    from ..shuffle import grouped_map
+    pairs = grouped_map(buckets, "bucket", per_partition, group_fn=False)
+    from ..shuffle import distinct_on
+    return distinct_on(pairs, ["id_a", "id_b"])
 
 
 def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
@@ -229,24 +244,26 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         out = []
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-        ids = g[id_col].tolist()
-        sets = [set(s) for s in g["shingles"]]
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                jac = inter / union if union else 0.0
-                if jac >= threshold:
-                    out.append((ids[i], ids[j], round(jac, 6)))
+        for _, g in df.groupby("bucket", sort=False):
+            g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+            ids = g[id_col].tolist()
+            sets = [set(s) for s in g["shingles"]]
+            upper = 1 if len(ids) > 256 else len(ids)  # hub-and-spoke guard
+            for i in range(upper):
+                for j in range(i + 1, len(ids)):
+                    inter = len(sets[i] & sets[j])
+                    union = len(sets[i] | sets[j])
+                    jac = inter / union if union else 0.0
+                    if jac >= threshold:
+                        out.append((ids[i], ids[j], round(jac, 6)))
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
 
-    pairs = buckets.groupby("bucket").map_groups(per_bucket,
-                                                 batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    from ..shuffle import grouped_map
+    pairs = grouped_map(buckets, "bucket", per_partition, group_fn=False)
+    from ..shuffle import distinct_on
+    return distinct_on(pairs, ["id_a", "id_b"])
 
 
 def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
@@ -268,19 +285,20 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         out = []
-        g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-        v = np.array(g[vec_col].tolist(), dtype=np.float64)
-        if len(v) >= 2:
-            norm = np.linalg.norm(v, axis=1, keepdims=True)
-            vn = v / np.maximum(norm, 1e-12)
-            sim = vn @ vn.T
-            ids = g[id_col].tolist()
-            ii, jj = np.where(np.triu(sim, 1) >= threshold)
-            for i, j in zip(ii, jj):
-                out.append((ids[i], ids[j], round(float(sim[i, j]), 6)))
+        for _, g in df.groupby("bucket", sort=False):
+            g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+            v = np.array(g[vec_col].tolist(), dtype=np.float64)
+            if len(v) >= 2:
+                norm = np.linalg.norm(v, axis=1, keepdims=True)
+                vn = v / np.maximum(norm, 1e-12)
+                sim = vn @ vn.T
+                ids = g[id_col].tolist()
+                ii, jj = np.where(np.triu(sim, 1) >= threshold)
+                for i, j in zip(ii, jj):
+                    out.append((ids[i], ids[j], round(float(sim[i, j]), 6)))
         return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
 
-    return buckets.groupby("bucket").map_groups(per_bucket,
-                                                batch_format="pandas")
+    from ..shuffle import grouped_map
+    return grouped_map(buckets, "bucket", per_partition, group_fn=False)

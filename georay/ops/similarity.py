@@ -56,14 +56,16 @@ def topk_cosine_brute(ds: "ray.data.Dataset", queries: np.ndarray,
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1)
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        g = df.groupby("query_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
         return g
 
-    return partials.groupby("query_id").map_groups(merge,
-                                                   batch_format="pandas")
+    from ..shuffle import grouped_map
+    return grouped_map(partials, "query_id", merge_partition,
+                       num_partitions=16, group_fn=False)
 
 
 def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 10,
@@ -121,11 +123,13 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["cosine", id_col], ascending=[False, True],
-                          kind="mergesort").head(k).copy()
-        g["rank"] = np.arange(1, len(g) + 1)
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True], kind="mergesort")
+        g = df.groupby("query_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
         return g
 
-    return partials.groupby("query_id").map_groups(merge,
-                                                   batch_format="pandas")
+    from ..shuffle import grouped_map
+    return grouped_map(partials, "query_id", merge_partition,
+                       num_partitions=16, group_fn=False)

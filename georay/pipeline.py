@@ -26,7 +26,7 @@ from .config import PipelineConfig
 from .corpus import make_documents
 from .gazetteer import GazetteerSpec
 from .knn import KnnRescuer
-from .spans import explode_spans, reassemble_group
+from .spans import explode_spans, reassemble_partition
 from .tiles import TileAnnotator
 
 
@@ -60,17 +60,19 @@ def geocode_documents(docs: "ray.data.Dataset",
     # the whole node and starve the stateless explode/read tasks (the
     # actor-pool sizing rule, SURVEY.md §4): cascade actors do ~95% of the
     # work, tile/knn stages are cheap per batch.
+    base = concurrency if isinstance(concurrency, int) else concurrency[-1]
+    light = max(2, base // 4)
     if with_tiles:
         geocoded = geocoded.map_batches(
             TileAnnotator, batch_format="pyarrow", batch_size=4096,
-            concurrency=2, num_cpus=0.25,
+            concurrency=light, num_cpus=0.25,
             fn_constructor_kwargs={"spec": spec,
                                    "hex_res": cfg.hex_res,
                                    "quad_level": cfg.quad_level})
     if with_knn_rescue:
         geocoded = geocoded.map_batches(
             KnnRescuer, batch_format="pyarrow", batch_size=4096,
-            concurrency=2, num_cpus=0.25,
+            concurrency=light, num_cpus=0.25,
             fn_constructor_kwargs={"spec": spec})
     return geocoded
 
@@ -104,14 +106,16 @@ def reassemble_documents(span_results: "ray.data.Dataset"
     the one required shuffle (groupby doc_id), SURVEY.md §7.3."""
     import pyarrow.compute as pc
 
+    from .shuffle import grouped_map
+
     def keep_fn(batch):
         return batch.filter(pc.is_in(
             batch["status"],
             value_set=__import__("pyarrow").array(
                 ["match", "unmatched", "not_address"])))
     keep = span_results.map_batches(keep_fn, batch_format="pyarrow")
-    return keep.groupby("doc_id").map_groups(reassemble_group,
-                                             batch_format="pandas")
+    return grouped_map(keep, "doc_id", reassemble_partition,
+                       num_partitions=32, group_fn=False)
 
 
 def validate_addresses(payload: list[dict[str, Any]],

@@ -1,0 +1,95 @@
+"""Partitioned grouped execution: the engine's replacement for
+``Dataset.groupby(key).map_groups(fn)``.
+
+Ray Data's ``map_groups`` materializes work PER GROUP — with thousands of
+small groups (LSH buckets, doc_ids) the per-group task/pandas overhead
+dominates wall-clock by 10-100×.  The scalable plan — on one node or 256 —
+is: deterministic hash of the key into P partitions, ONE shuffle on the
+partition id, then a single task per partition that runs a vectorized
+pandas ``groupby`` over all of its groups.
+
+``grouped_map(ds, key, fn, num_partitions=P)`` guarantees fn sees every
+row of each key group exactly once (co-partitioning by key hash), with
+deterministic md5-based hashing (Python's ``hash()`` is process-seeded).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _hash_col(arr) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of one column (pandas
+    hash_array uses a fixed key — stable across processes, unlike
+    Python's seeded ``hash``)."""
+    a = pd.array(arr) if not isinstance(arr, (pd.Series, np.ndarray)) else arr
+    return pd.util.hash_array(np.asarray(a)).astype(np.uint64)
+
+
+def _hash_mod_cols(cols: list, mod: int) -> np.ndarray:
+    h = _hash_col(cols[0])
+    for c in cols[1:]:
+        h = h * np.uint64(1000003) + _hash_col(c)
+    return (h % np.uint64(mod)).astype(np.int64)
+
+
+def grouped_map(ds: "ray.data.Dataset",
+                key: str | list[str],
+                fn: Callable[[pd.DataFrame], pd.DataFrame],
+                num_partitions: int = 64,
+                group_fn: bool = True) -> "ray.data.Dataset":
+    """Apply ``fn`` per key-group, executed partition-wise.
+
+    - ``group_fn=True`` (default): ``fn`` receives ONE group's rows
+      (``map_groups`` drop-in semantics).
+    - ``group_fn=False``: ``fn`` receives a whole partition (many groups,
+      co-partitioned by key) and handles grouping itself — cheapest when
+      fn is already vectorized across groups.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        cols = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
+        return batch.append_column(
+            "_part", pa.array(_hash_mod_cols(cols, num_partitions)))
+
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_part"])
+        if df.empty:
+            return fn(df) if not group_fn else df.iloc[0:0]
+        if not group_fn:
+            return fn(df)
+        outs = []
+        for _, g in df.groupby(keys, sort=False):
+            r = fn(g)
+            if r is not None and len(r):
+                outs.append(r)
+        if not outs:
+            return pd.DataFrame(columns=df.columns).iloc[0:0]
+        return pd.concat(outs, ignore_index=True)
+
+    return parted.groupby("_part").map_groups(per_partition,
+                                              batch_format="pandas")
+
+
+def distinct_on(ds: "ray.data.Dataset", keys: list[str],
+                num_partitions: int = 32) -> "ray.data.Dataset":
+    """Distinct rows by key columns: per-batch local dedup (map-side
+    combine), then partition-wise drop_duplicates — never a per-group
+    shuffle, so millions of tiny groups cost one pass."""
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().drop_duplicates(keys)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pre = ds.map_batches(local, batch_format="pyarrow")
+    return grouped_map(pre, keys,
+                       lambda df: df.drop_duplicates(keys),
+                       num_partitions=num_partitions, group_fn=False)

@@ -100,26 +100,36 @@ def explode_spans(batch: pa.Table) -> pa.Table:
     })
 
 
-def reassemble_group(group: pd.DataFrame) -> pd.DataFrame:
-    """Group fn for ``groupby("doc_id").map_groups``: rebuild the ordered
-    span list + a parallel geocode annotation list (north-rule invariant:
-    output spans == input spans on kind/text/media_ref/order)."""
-    g = group.sort_values("span_idx", kind="mergesort")
-    spans = [{"kind": k, "text": t, "media_ref": m, "offset": int(o)}
-             for k, t, m, o in zip(g["kind"], g["text"], g["media_ref"],
-                                   g["offset"])]
-    geo = []
-    for _, r in g.iterrows():
-        if bool(r.get("is_address", False)):
-            geo.append({"status": r.get(STATUS, "") or "",
-                        "lat": float(r["o_lat"]) if pd.notna(r.get("o_lat")) else float("nan"),
-                        "lon": float(r["o_lon"]) if pd.notna(r.get("o_lon")) else float("nan"),
-                        "place_id": int(r.get("m_place_id", -1) if pd.notna(r.get("m_place_id")) else -1),
-                        "method": r.get("m_method", "") or "",
-                        "hex_cell": int(r.get("hex_cell", -1) if pd.notna(r.get("hex_cell")) else -1)})
-        else:
-            geo.append({"status": "not_address", "lat": float("nan"),
-                        "lon": float("nan"), "place_id": -1, "method": "",
-                        "hex_cell": -1})
-    return pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]],
-                         "spans": [spans], "geocodes": [geo]})
+def reassemble_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Partition fn for ``grouped_map(ds, "doc_id", ..., group_fn=False)``:
+    rebuild each document's ordered span list + a parallel geocode
+    annotation list (north-rule invariant: output spans == input spans on
+    kind/text/media_ref/order)."""
+    has_hex = "hex_cell" in df.columns
+    doc_ids, span_lists, geo_lists = [], [], []
+    for doc_id, g in df.groupby("doc_id", sort=False):
+        g = g.sort_values("span_idx", kind="mergesort")
+        spans = [{"kind": k, "text": t, "media_ref": m, "offset": int(o)}
+                 for k, t, m, o in zip(g["kind"], g["text"], g["media_ref"],
+                                       g["offset"])]
+        geo = []
+        for is_addr, status, lat, lon, pid, method, hexc in zip(
+                g["is_address"], g[STATUS], g["o_lat"], g["o_lon"],
+                g["m_place_id"], g["m_method"],
+                g["hex_cell"] if has_hex else [-1] * len(g)):
+            if bool(is_addr):
+                geo.append({"status": status or "",
+                            "lat": float(lat) if pd.notna(lat) else float("nan"),
+                            "lon": float(lon) if pd.notna(lon) else float("nan"),
+                            "place_id": int(pid) if pd.notna(pid) else -1,
+                            "method": method or "",
+                            "hex_cell": int(hexc) if pd.notna(hexc) else -1})
+            else:
+                geo.append({"status": "not_address", "lat": float("nan"),
+                            "lon": float("nan"), "place_id": -1,
+                            "method": "", "hex_cell": -1})
+        doc_ids.append(doc_id)
+        span_lists.append(spans)
+        geo_lists.append(geo)
+    return pd.DataFrame({"doc_id": doc_ids, "spans": span_lists,
+                         "geocodes": geo_lists})

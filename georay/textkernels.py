@@ -126,6 +126,7 @@ def fingerprint(s: str) -> str:
 _NON_ALPHA_SP_RE = re.compile(r"[^A-Z ]+")
 
 
+@lru_cache(maxsize=1 << 17)
 def normalize_street(s: str | None) -> str:
     """Uppercase, deaccent, collapse non-letters to spaces, squeeze spaces —
     the cleanup applied to each street split-cell at
@@ -137,9 +138,11 @@ def normalize_street(s: str | None) -> str:
     return _WS_RE.sub(" ", up).strip()
 
 
+@lru_cache(maxsize=1 << 17)
 def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:
     """Jaro-Winkler similarity (published formula; net-new for the kNN
-    gazetteer join — SURVEY.md §2.4)."""
+    gazetteer join — SURVEY.md §2.4).  Memoized: candidate-set scoring
+    re-compares the same (query, name) pairs across batches."""
     if s1 == s2:
         return 1.0
     l1, l2 = len(s1), len(s2)
