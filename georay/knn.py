@@ -65,9 +65,14 @@ class KnnRescuer:
                 for i in self.trigram.get(t, []):
                     if i in allowed:
                         votes[i] = votes.get(i, 0) + 1
-            idxs = [i for i, _ in sorted(votes.items(),
-                                         key=lambda kv: (-kv[1], kv[0])
-                                         )[:self.prefilter]]
+            if votes:
+                idxs = [i for i, _ in sorted(votes.items(),
+                                             key=lambda kv: (-kv[1], kv[0])
+                                             )[:self.prefilter]]
+            else:
+                # no trigram overlap anywhere — still return a best-effort
+                # top-k from a deterministic candidate slice
+                idxs = idxs[:self.prefilter]
         scored = []
         for i in idxs:
             name = self.names[i]
