@@ -85,7 +85,13 @@ def street_similarity(street_a: str, street_b: str) -> float:
     """Max over all (part_a × part_b) pairs of {levenshtein sim with
     street-words stripped, inclusion test (unstripped), levenshtein sim of
     stripped fingerprints} — the reference's 12-way max
-    (check_result_utils.py:317-416).  Early-exits at 1.0."""
+    (check_result_utils.py:317-416).  Early-exits at 1.0.
+
+    Fast path: identical inputs always score 1.0 (any part paired with
+    itself has levenshtein similarity 1, or both-empty -> 1), skipping
+    the full pair matrix — the dominant case for exact candidates."""
+    if street_a == street_b:
+        return 1.0
     parts_a, fps_a = _street_parts(street_a)
     parts_b, fps_b = _street_parts(street_b)
     best = 0.0

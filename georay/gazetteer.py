@@ -246,8 +246,12 @@ class Gazetteer:
             self.norm_variants[pid] = tuple(sorted(norms))
         for lst in self.exact.values():
             lst.sort()
-        for lst in self.trigram.values():
-            lst.sort()
+        # numpy posting lists: fuzzy voting is concatenate + unique
+        # instead of a python dict-count loop
+        self.trigram_np: dict[str, np.ndarray] = {
+            t: np.array(sorted(lst), dtype=np.int64)
+            for t, lst in self.trigram.items()}
+        self._result_cache: dict[tuple, dict] = {}
         for r in places[places.place_rank == 16].to_dict("records"):
             self.city_by_pc[r["post_code"]] = r["place_id"]
             self.city_by_name[normalize_street(r["post_name"])] = r["place_id"]
@@ -283,6 +287,17 @@ class Gazetteer:
                     place_rank=30, _house_number=str(hn))
 
     # -- result shaping ----------------------------------------------------
+    def _to_result_cached(self, rec: dict, namedetails: bool) -> dict:
+        """Memoized result shaping keyed by place id (callers must not
+        mutate the returned dict — the cascade only reads it)."""
+        key = (rec["place_id"], namedetails)
+        hit = self._result_cache.get(key)
+        if hit is None:
+            hit = self._to_result(rec, namedetails)
+            if len(self._result_cache) < (1 << 17):
+                self._result_cache[key] = hit
+        return hit
+
     def _to_result(self, rec: dict, namedetails: bool) -> dict:
         """Shape a place record like a parsed Nominatim JSON item
         (fields kept by base.py:95-108 + address sub-dict)."""
@@ -347,14 +362,21 @@ class Gazetteer:
                 for pid in self.exact.get((k, loc), []):
                     out[pid] = max(out.get(pid, 0.0), 1.0)
         if not out and keys and fuzzy:
-            # fuzzy: trigram vote then jaro-winkler refine, city/pc filtered
-            votes: dict[int, int] = {}
+            # fuzzy: vectorized trigram vote then jaro-winkler refine,
+            # city/pc filtered
+            posts = []
             for k in keys:
-                tg = _trigrams(k)
-                for t in tg:
-                    for pid in self.trigram.get(t, []):
-                        votes[pid] = votes.get(pid, 0) + 1
-            cand = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[:80]
+                for t in _trigrams(k):
+                    p = self.trigram_np.get(t)
+                    if p is not None:
+                        posts.append(p)
+            if posts:
+                arr = np.concatenate(posts)
+                pids_u, counts = np.unique(arr, return_counts=True)
+                top = np.lexsort((pids_u, -counts))[:80]
+                cand = [(int(pids_u[i]), int(counts[i])) for i in top]
+            else:
+                cand = []
             for pid, _ in cand:
                 rec = self.by_id[pid]
                 if pcn and rec["post_code"] == pcn:
@@ -393,9 +415,9 @@ class Gazetteer:
                 rec = self.by_id[pid]
                 b = self.building_for(rec, housenumber) if housenumber else None
                 if b is not None:
-                    results.append(self._to_result(b, namedetails))
+                    results.append(self._to_result_cached(b, namedetails))
                 else:
-                    results.append(self._to_result(rec, namedetails))
+                    results.append(self._to_result_cached(rec, namedetails))
                 if len(results) >= limit:
                     break
         else:
@@ -409,7 +431,7 @@ class Gazetteer:
                 if cityn and cityn in self.city_by_name:
                     pid = self.city_by_name[cityn]
             if pid is not None:
-                results.append(self._to_result(self.by_id[pid], namedetails))
+                results.append(self._to_result_cached(self.by_id[pid], namedetails))
         return results
 
     def parse_free_text(self, q: str) -> dict[str, str]:

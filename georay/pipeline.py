@@ -30,6 +30,25 @@ from .spans import explode_spans, reassemble_partition
 from .tiles import TileAnnotator
 
 
+class SpanAnnotator:
+    """Fused light-annotation stage: tile assignment + PIP validation +
+    kNN rescue in one actor pool — one Arrow pass instead of two pools'
+    worth of scheduling and conversions."""
+
+    def __init__(self, spec=None, hex_res: int = 9, quad_level: int = 18,
+                 with_tiles: bool = True, with_knn: bool = True):
+        self.tiles = TileAnnotator(spec=spec, hex_res=hex_res,
+                                   quad_level=quad_level) if with_tiles else None
+        self.knn = KnnRescuer(spec=spec) if with_knn else None
+
+    def __call__(self, batch):
+        if self.tiles is not None:
+            batch = self.tiles(batch)
+        if self.knn is not None:
+            batch = self.knn(batch)
+        return batch
+
+
 def synth_documents_dataset(n_docs: int, spec: GazetteerSpec | None = None,
                             seed: int = 7,
                             parallelism: int = 16) -> "ray.data.Dataset":
@@ -40,63 +59,92 @@ def synth_documents_dataset(n_docs: int, spec: GazetteerSpec | None = None,
     return ray.data.from_arrow(docs).repartition(parallelism)
 
 
+def annotator_fn(spec=None, hex_res: int = 9, quad_level: int = 18,
+                 with_tiles: bool = True, with_knn: bool = True):
+    """Picklable stateless-task batch fn for the fused annotator, with
+    per-worker-process component caching (see cascade.py rationale)."""
+    from .cascade import _PROCESS_COMPONENT_CACHE
+    key = ("annotator", spec, hex_res, quad_level, with_tiles, with_knn)
+
+    def fn(batch):
+        worker = _PROCESS_COMPONENT_CACHE.get(key)
+        if worker is None:
+            worker = SpanAnnotator(spec=spec, hex_res=hex_res,
+                                   quad_level=quad_level,
+                                   with_tiles=with_tiles, with_knn=with_knn)
+            _PROCESS_COMPONENT_CACHE[key] = worker
+        return worker(batch)
+
+    return fn
+
+
 def geocode_documents(docs: "ray.data.Dataset",
                       spec: GazetteerSpec | None = None,
                       cfg: PipelineConfig | None = None,
-                      concurrency: int | tuple = 8,
+                      concurrency: int | tuple | None = None,
                       batch_size: int = 1024,
                       with_knn_rescue: bool = True,
-                      with_tiles: bool = True) -> "ray.data.Dataset":
+                      with_tiles: bool = True,
+                      use_actors: bool = False) -> "ray.data.Dataset":
     """documents -> span-level geocode results (one row per span ×
-    match/reject, not_address spans passed through)."""
+    match/reject, not_address spans passed through).
+
+    Default execution: stateless tasks with per-worker component caching
+    (elastic scheduling, no pool sizing, reused worker processes —
+    measured faster and better-scaling than a fixed actor pool for this
+    index size).  ``use_actors=True`` switches to the actor-pool plan
+    (``concurrency`` then sizes the pool) for heavy-state deployments.
+    """
+    from .cascade import span_cascade_fn
     spec = spec or GazetteerSpec()
     cfg = cfg or PipelineConfig()
     spans = docs.map_batches(explode_spans, batch_format="pyarrow")
-    geocoded = spans.map_batches(
-        SpanCascadeGeocoder, batch_format="pyarrow",
-        batch_size=batch_size, concurrency=concurrency,
-        fn_constructor_kwargs={"spec": spec, "cfg": cfg})
-    # Light annotation pools get fractional CPUs so the pools never sum to
-    # the whole node and starve the stateless explode/read tasks (the
-    # actor-pool sizing rule, SURVEY.md §4): cascade actors do ~95% of the
-    # work, tile/knn stages are cheap per batch.
-    base = concurrency if isinstance(concurrency, int) else concurrency[-1]
-    light = max(2, base // 4)
-    if with_tiles:
+    if use_actors:
+        geocoded = spans.map_batches(
+            SpanCascadeGeocoder, batch_format="pyarrow",
+            batch_size=batch_size, concurrency=concurrency or 8,
+            fn_constructor_kwargs={"spec": spec, "cfg": cfg})
+        base = concurrency if isinstance(concurrency, int) else 8
+        light = max(2, base // 3)
+        if with_tiles or with_knn_rescue:
+            geocoded = geocoded.map_batches(
+                SpanAnnotator, batch_format="pyarrow", batch_size=4096,
+                concurrency=light, num_cpus=0.5,
+                fn_constructor_kwargs={"spec": spec, "hex_res": cfg.hex_res,
+                                       "quad_level": cfg.quad_level,
+                                       "with_tiles": with_tiles,
+                                       "with_knn": with_knn_rescue})
+        return geocoded
+    geocoded = spans.map_batches(span_cascade_fn(spec, cfg),
+                                 batch_format="pyarrow",
+                                 batch_size=batch_size)
+    if with_tiles or with_knn_rescue:
         geocoded = geocoded.map_batches(
-            TileAnnotator, batch_format="pyarrow", batch_size=4096,
-            concurrency=light, num_cpus=0.25,
-            fn_constructor_kwargs={"spec": spec,
-                                   "hex_res": cfg.hex_res,
-                                   "quad_level": cfg.quad_level})
-    if with_knn_rescue:
-        geocoded = geocoded.map_batches(
-            KnnRescuer, batch_format="pyarrow", batch_size=4096,
-            concurrency=light, num_cpus=0.25,
-            fn_constructor_kwargs={"spec": spec})
+            annotator_fn(spec, cfg.hex_res, cfg.quad_level,
+                         with_tiles, with_knn_rescue),
+            batch_format="pyarrow", batch_size=4096)
     return geocoded
 
 
 def geocode_addresses(addrs: "ray.data.Dataset",
                       spec: GazetteerSpec | None = None,
                       cfg: PipelineConfig | None = None,
-                      concurrency: int | tuple = 8,
+                      concurrency: int | tuple | None = None,
                       batch_size: int = 1024,
                       with_tiles: bool = True) -> "ray.data.Dataset":
     """Flat address batch -> cascade results (the /batchGeocode parity
-    path, nominatimwrapper.py:709-855)."""
+    path, nominatimwrapper.py:709-855).  Stateless-task plan with
+    per-worker component caching; ``concurrency`` is accepted for API
+    compatibility but the scheduler is elastic."""
+    from .cascade import address_cascade_fn
     spec = spec or GazetteerSpec()
     cfg = cfg or PipelineConfig()
-    out = addrs.map_batches(
-        CascadeGeocoder, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"spec": spec, "cfg": cfg})
+    out = addrs.map_batches(address_cascade_fn(spec, cfg),
+                            batch_format="pyarrow", batch_size=batch_size)
     if with_tiles:
         out = out.map_batches(
-            TileAnnotator, batch_format="pyarrow", batch_size=4096,
-            concurrency=2, num_cpus=0.25,
-            fn_constructor_kwargs={"spec": spec, "hex_res": cfg.hex_res,
-                                   "quad_level": cfg.quad_level})
+            annotator_fn(spec, cfg.hex_res, cfg.quad_level, True, False),
+            batch_format="pyarrow", batch_size=4096)
     return out
 
 

@@ -69,16 +69,13 @@ class TileAnnotator:
         if self.pip is not None and self.pc_col is not None:
             pip_ok = np.zeros(len(lat), dtype=bool)
             if ok.any():
-                located = self.pip.locate(lat[ok], lon[ok])
-                pcs = batch[self.pc_col].to_pylist()
-                oki = np.flatnonzero(ok)
-                for j, admin in enumerate(located):
-                    i = oki[j]
-                    if admin is not None:
-                        # valid if the containing polygon's postcode matches
-                        # the candidate's postcode (reverse-geocode check)
-                        pip_ok[i] = (self.pc_of_polygon.get(admin) == pcs[i]
-                                     or not pcs[i])
+                located = np.array(self.pip.locate(lat[ok], lon[ok]),
+                                   dtype=object)
+                # vectorized reverse-geocode check: the containing
+                # polygon's postcode must match the candidate's postcode
+                pcs = batch[self.pc_col].to_numpy(zero_copy_only=False)[ok]
+                loc_pc = pd.Series(located).map(self.pc_of_polygon).to_numpy()
+                pip_ok[ok] = (loc_pc == pcs) | (pcs == "")
             out = out.append_column(T_PIP_OK, pa.array(pip_ok))
         return out
 
@@ -96,6 +93,23 @@ def rollup_counts(ds: "ray.data.Dataset", key_col: str) -> "ray.data.Dataset":
     partial = ds.map_batches(_partial_counts(key_col),
                              batch_format="pyarrow")
     return partial.groupby(key_col).aggregate(Sum("n", alias_name="n"))
+
+
+def rollup_counts_local(ds: "ray.data.Dataset", key_col: str) -> pd.DataFrame:
+    """Tile rollup with a driver-side final merge: per-batch partial
+    counts stream to the driver (bounded: at most #distinct-cells rows
+    per block) and one pandas groupby merges them — no all-to-all
+    barrier, no single-reducer tail.  Correct at any input scale because
+    the partial stream is bounded by cells × blocks, not rows."""
+    partial = ds.map_batches(_partial_counts(key_col),
+                             batch_format="pyarrow")
+    parts = [b.to_pandas() for b in
+             partial.iter_batches(batch_size=None, batch_format="pyarrow")]
+    if not parts:
+        return pd.DataFrame({key_col: [], "n": []})
+    allp = pd.concat(parts, ignore_index=True)
+    return (allp.groupby(key_col, sort=False)["n"].sum()
+            .reset_index())
 
 
 def rollup_counts_salted(ds: "ray.data.Dataset", key_col: str,
