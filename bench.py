@@ -162,16 +162,24 @@ def run_scaling() -> dict:
     memory bandwidth (pandas/string workload), which a real 4N-node
     cluster with 4x the memory channels would not."""
     results = {}
+    repeats = int(os.environ.get("GEORAY_SCALING_REPEATS", "2"))
     for cpus in (2, 8, 32):
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(cpus)
-        env.setdefault("GEORAY_BENCH_DOCS", "60000")   # same input per level
-        env.setdefault("GEORAY_BENCH_VECS", "20000")
-        p = subprocess.run([sys.executable, __file__], env=env,
-                           capture_output=True, text=True, timeout=3600)
-        line = [ln for ln in p.stdout.strip().splitlines()
-                if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        best = None
+        for _ in range(repeats):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            env.setdefault("GEORAY_BENCH_DOCS", "120000")  # same input per level
+            env.setdefault("GEORAY_BENCH_VECS", "20000")
+            p = subprocess.run([sys.executable, __file__], env=env,
+                               capture_output=True, text=True, timeout=3600)
+            line = [ln for ln in p.stdout.strip().splitlines()
+                    if ln.startswith("{")][-1]
+            r = json.loads(line)
+            # best-of-N per level: the host is shared, min wall-time
+            # filters noisy-neighbor interference
+            if best is None or r["docs_per_sec"] > best["docs_per_sec"]:
+                best = r
+        results[cpus] = best
     thr = {c: results[c]["docs_per_sec"] for c in (2, 8, 32)}
     eff_2_8 = (thr[8] / thr[2]) / 4.0
     eff_8_32 = (thr[32] / thr[8]) / 4.0

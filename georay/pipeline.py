@@ -89,6 +89,11 @@ def geocode_documents(docs: "ray.data.Dataset",
     """documents -> span-level geocode results (one row per span ×
     match/reject, not_address spans passed through).
 
+    ``batch_size`` counts DOCUMENT rows: the cascade has a few hundred
+    ms of fixed per-batch cost (10 steps of frame machinery), so batches
+    must hold >=~1500 addresses to amortize it — 1024 docs ≈ 7000 spans
+    ≈ 2000 addresses.
+
     Default execution: stateless tasks with per-worker component caching
     (elastic scheduling, no pool sizing, reused worker processes —
     measured faster and better-scaling than a fixed actor pool for this
@@ -98,8 +103,8 @@ def geocode_documents(docs: "ray.data.Dataset",
     from .cascade import span_cascade_fn
     spec = spec or GazetteerSpec()
     cfg = cfg or PipelineConfig()
-    spans = docs.map_batches(explode_spans, batch_format="pyarrow")
     if use_actors:
+        spans = docs.map_batches(explode_spans, batch_format="pyarrow")
         geocoded = spans.map_batches(
             SpanCascadeGeocoder, batch_format="pyarrow",
             batch_size=batch_size, concurrency=concurrency or 8,
@@ -115,15 +120,23 @@ def geocode_documents(docs: "ray.data.Dataset",
                                        "with_tiles": with_tiles,
                                        "with_knn": with_knn_rescue})
         return geocoded
-    geocoded = spans.map_batches(span_cascade_fn(spec, cfg),
-                                 batch_format="pyarrow",
-                                 batch_size=batch_size)
-    if with_tiles or with_knn_rescue:
-        geocoded = geocoded.map_batches(
-            annotator_fn(spec, cfg.hex_res, cfg.quad_level,
-                         with_tiles, with_knn_rescue),
-            batch_format="pyarrow", batch_size=4096)
-    return geocoded
+    # ONE map op: even "fused" Ray Data operators pay per-op rebatching
+    # (slice/concat of the 33-column Arrow batch at every boundary) —
+    # measured at ~60% of total CPU for this chain.  Collapsing
+    # explode -> cascade -> annotate into a single batch fn doubles
+    # throughput; per-document batch_size keeps the cascade's per-batch
+    # fixed cost amortized (1024 docs ≈ 7000 spans ≈ 2000 addresses).
+    casc = span_cascade_fn(spec, cfg)
+    ann = (annotator_fn(spec, cfg.hex_res, cfg.quad_level,
+                        with_tiles, with_knn_rescue)
+           if (with_tiles or with_knn_rescue) else None)
+
+    def whole(batch):
+        out = casc(explode_spans(batch))
+        return ann(out) if ann is not None else out
+
+    return docs.map_batches(whole, batch_format="pyarrow",
+                            batch_size=batch_size)
 
 
 def geocode_addresses(addrs: "ray.data.Dataset",
@@ -139,13 +152,16 @@ def geocode_addresses(addrs: "ray.data.Dataset",
     from .cascade import address_cascade_fn
     spec = spec or GazetteerSpec()
     cfg = cfg or PipelineConfig()
-    out = addrs.map_batches(address_cascade_fn(spec, cfg),
-                            batch_format="pyarrow", batch_size=batch_size)
-    if with_tiles:
-        out = out.map_batches(
-            annotator_fn(spec, cfg.hex_res, cfg.quad_level, True, False),
-            batch_format="pyarrow", batch_size=4096)
-    return out
+    casc = address_cascade_fn(spec, cfg)
+    ann = (annotator_fn(spec, cfg.hex_res, cfg.quad_level, True, False)
+           if with_tiles else None)
+
+    def whole(batch):
+        out = casc(batch)
+        return ann(out) if ann is not None else out
+
+    return addrs.map_batches(whole, batch_format="pyarrow",
+                             batch_size=batch_size)
 
 
 def reassemble_documents(span_results: "ray.data.Dataset"

@@ -1,0 +1,95 @@
+"""REST-semantics parity tests: /geocode, /batchGeocode, /health behaviors
+(SURVEY.md §2.1; API contract nominatimwrapper.py:339-453)."""
+
+import pytest
+
+from georay.api import (batch_geocode, geocode_one, health_check,
+                        row_to_nested, to_camel_case)
+from georay.gazetteer import GazetteerSpec, get_gazetteer
+
+SPEC = GazetteerSpec()
+
+
+@pytest.fixture(scope="module")
+def street():
+    gaz = get_gazetteer(SPEC)
+    return gaz.places[gaz.places.place_rank == 26].iloc[0]
+
+
+def _payload(st, key="1"):
+    return {"addr_key": key, "street_name": st["name"], "house_number": "4",
+            "post_code": st["post_code"], "post_name": st["post_name"],
+            "country_name": "Belgium"}
+
+
+def test_to_camel_case():
+    # utils.py:76-103
+    assert to_camel_case("street_name") == "streetName"
+    assert to_camel_case("match_on_cleansed_house_number") == \
+        "matchOnCleansedHouseNumber"
+    assert to_camel_case("lat") == "lat"
+
+
+def test_geocode_one_nested_shape(street):
+    res = geocode_one(_payload(street), mode="long")
+    assert len(res["match"]) == 1
+    m = res["match"][0]
+    assert m["input"]["streetName"] == street["name"]
+    assert m["metadata"]["method"] == "orig"
+    assert isinstance(m["metadata"]["placeId"], int)
+    assert isinstance(m["output"]["lat"], float)
+    assert m["output"]["houseNumber"] == "4"
+    # empty leaves are dropped (utils.py:218)
+    assert "rejectReason" not in m["metadata"]
+
+
+def test_geocode_modes(street):
+    coords = geocode_one(_payload(street), mode="coordinates")
+    m = coords["match"][0]
+    assert set(m.keys()) <= {"input", "output"}
+    assert set(m["output"].keys()) == {"lat", "lon"}
+    short = geocode_one(_payload(street), mode="short")
+    assert "check" not in short["match"][0]
+    long_ = geocode_one(_payload(street), mode="long")
+    assert "check" in long_["match"][0]
+    with pytest.raises(ValueError):
+        geocode_one(_payload(street), mode="bogus")
+
+
+def test_fastmode_direct_hit(street):
+    res = geocode_one(_payload(street), fastmode=True, check_result=False)
+    m = res["match"][0]
+    assert m["metadata"]["method"] == "fast"
+    assert m["metadata"]["placeRank"] == 30
+    assert m["metadata"]["osmOrder"] == 0
+
+
+def test_fastmode_cleansed_retry(street):
+    p = _payload(street)
+    p["house_number"] = "4 bt 2"
+    res = geocode_one(p, fastmode=True, check_result=False)
+    m = res["match"][0]
+    assert m["metadata"]["placeRank"] == 30
+    assert m["metadata"].get("matchOnCleansedHouseNumber") is True
+
+
+def test_batch_geocode_dup_key_rejected(street):
+    with pytest.raises(ValueError, match="duplicate"):
+        batch_geocode([_payload(street, "1"), _payload(street, "1")])
+    with pytest.raises(ValueError, match="mandatory"):
+        batch_geocode([{"street_name": "x"}])
+
+
+def test_batch_geocode_end_to_end(street):
+    gaz = get_gazetteer(SPEC)
+    s2 = gaz.places[gaz.places.place_rank == 26].iloc[1]
+    res = batch_geocode([_payload(street, "1"), _payload(s2, "2")],
+                        with_rejected=True)
+    keys = sorted(m["input"]["referenceKey"] for m in res["match"])
+    assert keys == ["1", "2"]
+
+
+def test_health_check():
+    h = health_check(SPEC)
+    assert h["status"] == "UP"
+    assert set(h["services"]) == {"gazetteer", "parser", "fuzzy"}
