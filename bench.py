@@ -77,7 +77,11 @@ def run_bench() -> dict:
     cascade_conc = max(4, (num_cpus * 3) // 4)
     t0 = time.time()
     docs = ray.data.read_parquet(corpus_dir)
-    res = geocode_documents(docs, spec=spec, cfg=PipelineConfig(),
+    # withRejected=False mirrors the reference benchmark config
+    # (/batchGeocode default, nominatimwrapper.py) and skips the 3x-wider
+    # reject rows; checkResult stays ON (full comparator validation).
+    res = geocode_documents(docs, spec=spec,
+                            cfg=PipelineConfig(with_rejected=False),
                             concurrency=cascade_conc, batch_size=1024)
     match = res.map_batches(
         lambda b: b.filter(pc.equal(b["status"], "match")),
@@ -168,7 +172,7 @@ def run_scaling() -> dict:
         for _ in range(repeats):
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
-            env.setdefault("GEORAY_BENCH_DOCS", "120000")  # same input per level
+            env.setdefault("GEORAY_BENCH_DOCS", "360000")  # same input per level
             env.setdefault("GEORAY_BENCH_VECS", "20000")
             p = subprocess.run([sys.executable, __file__], env=env,
                                capture_output=True, text=True, timeout=3600)

@@ -338,7 +338,7 @@ def process_addresses_df(df: pd.DataFrame, gazetteer, parser,
             rej = pd.DataFrame(columns=[ADDR_KEY])
         if res.shape[0] > 0:
             matches.append(res)
-        if rej.shape[0] > 0:
+        if rej.shape[0] > 0 and cfg.with_rejected:
             rejects.append(rej)
         matched_keys = res[ADDR_KEY] if res.shape[0] else pd.Series([], dtype=object)
         chunk = chunk[~chunk[ADDR_KEY].isin(matched_keys)]

@@ -182,6 +182,51 @@ def reassemble_documents(span_results: "ray.data.Dataset"
                        num_partitions=32, group_fn=False)
 
 
+_NAMESPACES = {
+    # flat-internal -> struct-at-the-sink mapping (SURVEY.md §1.4)
+    "input": ["addr_key", "street_name", "house_number", "post_code",
+              "post_name", "country_name"],
+    "metadata": ["m_method", "m_transformed_address", "m_osm_order",
+                 "m_place_rank", "m_place_id", "m_reject_reason",
+                 "m_distance_to_match",
+                 "m_match_on_cleansed_house_number"],
+    "output": ["o_street_name", "o_house_number", "o_post_code",
+               "o_post_name", "o_country_name", "o_other",
+               "o_display_name", "o_lat", "o_lon", "o_in_house_number",
+               "o_lpost_house_number", "o_lpost_unit"],
+    "check": ["c_sim_street", "c_sim_street_which", "c_sim_house_number",
+              "c_sim_post_code", "c_sim_city"],
+    "spatial": ["hex_cell", "quad_cell", "square_cell", "pip_ok"],
+}
+
+
+def pack_nested(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Pack flat result columns into one struct column per namespace —
+    the output-sink shape (flat internally, structs at the sink,
+    SURVEY.md §1.4).  Leaf names drop the namespace prefix."""
+    import pyarrow as pa
+
+    def fn(batch: pa.Table) -> pa.Table:
+        cols = {}
+        consumed = set()
+        for ns, flat_cols in _NAMESPACES.items():
+            present = [c for c in flat_cols if c in batch.column_names]
+            if not present:
+                continue
+            leaf = [c.split("_", 1)[1] if c.startswith(("m_", "o_", "c_"))
+                    else c for c in present]
+            arrays = [batch[c].combine_chunks() if isinstance(
+                batch[c], pa.ChunkedArray) else batch[c] for c in present]
+            cols[ns] = pa.StructArray.from_arrays(arrays, names=leaf)
+            consumed.update(present)
+        rest = [c for c in batch.column_names if c not in consumed]
+        out = {c: batch[c] for c in rest}
+        out.update(cols)
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def validate_addresses(payload: list[dict[str, Any]],
                        mandatory=("addr_key",)) -> None:
     """Driver-side pre-flight mirroring the REST layer's checks:

@@ -32,6 +32,19 @@ from .config import (ADDR_KEY, CITY, COUNTRY, HOUSENBR, INPUT_FIELDS,
 
 _TRANSFORMER_RE = re.compile(r"regex\[([a-z]+)\]")
 
+# User-extension surface (SURVEY.md §2.9): named custom transformers.
+# A registered fn(df, parser, gazetteer, cfg) -> df can appear in any
+# cascade sequence (the reference's TRANSFORMERS env override,
+# nominatimwrapper.py:104-114, dispatched by name in utils.py:718-751).
+TRANSFORMER_REGISTRY: dict = {}
+
+
+def register_transformer(name: str, fn) -> None:
+    if name in ("orig", "nonum", "nostreet", "nozip", "nocountry",
+                "libpostal", "photon") or _TRANSFORMER_RE.fullmatch(name):
+        raise ValueError(f"{name!r} collides with a built-in transformer")
+    TRANSFORMER_REGISTRY[name] = fn
+
 
 def regex_transformer(df: pd.DataFrame, rules) -> pd.DataFrame:
     df = df.copy()
@@ -186,6 +199,8 @@ def apply_transformers(df: pd.DataFrame, transformers: list[str],
         elif t == "photon":
             cur = photon_transformer(cur, gazetteer, cfg.photon_check_results,
                                      cfg.similarity_threshold)
+        elif t in TRANSFORMER_REGISTRY:
+            cur = TRANSFORMER_REGISTRY[t](cur, parser, gazetteer, cfg)
         else:
             raise ValueError(f"unknown transformer {t!r}")
         if cur.shape[0] == 0:
