@@ -73,49 +73,59 @@ def _coalesce_from_dict(addr: dict, keys: list[str]) -> str | None:
     return None
 
 
+_CAND_COLS = [M_TRANSFORMED, M_OSM_ORDER, "n_place_id", "n_place_rank",
+              "n_lat", "n_lon", "n_display_name", "n_category",
+              "n_namedetails", O_STREET, O_CITY, O_HOUSENBR, O_COUNTRY,
+              O_POSTCODE, O_OTHER, O_DISPLAY, O_LAT, O_LON]
+
+
+def _shape_candidates(addr: str, results: list[dict]) -> list[dict]:
+    """Explode one geocode result list into candidate rows with the o_*
+    columns derived (osm_parse_and_split + add_addr_out_columns,
+    utils.py:443-579)."""
+    rows = []
+    for order, r in enumerate(results):
+        address = r.get("address", {})
+        nd = r.get("namedetails") or {}
+        # namedetails only kept for highways (utils.py:513-514)
+        namedetails = (" - ".join(nd.values())
+                       if r.get("category") == "highway" else "")
+        o_street = _coalesce_from_dict(address, _COLLAPSE_STREET)
+        o_city = _coalesce_from_dict(address, _COLLAPSE_CITY)
+        o_hn = address.get("house_number")
+        o_country = address.get("country")
+        o_pc = address.get("postcode")
+        picked = {o_street, o_city, o_hn, o_country, o_pc}
+        other = sorted({v for k, v in address.items()
+                        if k not in DROP_ADDR_ITEMS and v is not None
+                        and v not in picked})
+        rows.append({
+            M_TRANSFORMED: addr, M_OSM_ORDER: order,
+            "n_place_id": int(r["place_id"]),
+            "n_place_rank": int(r["place_rank"]),
+            "n_lat": float(r["lat"]), "n_lon": float(r["lon"]),
+            "n_display_name": r.get("display_name", ""),
+            "n_category": r.get("category", ""),
+            "n_namedetails": namedetails,
+            O_STREET: o_street, O_CITY: o_city, O_HOUSENBR: o_hn,
+            O_COUNTRY: o_country, O_POSTCODE: o_pc,
+            O_OTHER: " - ".join(other),
+            O_DISPLAY: r.get("display_name", ""),
+            O_LAT: float(r["lat"]), O_LON: float(r["lon"]),
+        })
+    return rows
+
+
 def _explode_candidates(uniq_addrs: list[str], gazetteer, cfg: PipelineConfig
                         ) -> pd.DataFrame:
-    """Per unique transformed address: geocode, explode candidate list to
-    rows, derive o_* columns (osm_parse_and_split + add_addr_out_columns,
-    utils.py:443-579)."""
+    """Per unique transformed address: geocode the free-text string and
+    explode candidates."""
     rows = []
     for addr in uniq_addrs:
         results = gazetteer.search(addr, limit=cfg.max_results,
                                    namedetails=cfg.check_results)
-        for order, r in enumerate(results):
-            address = r.get("address", {})
-            nd = r.get("namedetails") or {}
-            # namedetails only kept for highways (utils.py:513-514)
-            namedetails = (" - ".join(nd.values())
-                           if r.get("category") == "highway" else "")
-            o_street = _coalesce_from_dict(address, _COLLAPSE_STREET)
-            o_city = _coalesce_from_dict(address, _COLLAPSE_CITY)
-            o_hn = address.get("house_number")
-            o_country = address.get("country")
-            o_pc = address.get("postcode")
-            picked = {o_street, o_city, o_hn, o_country, o_pc}
-            other = sorted({v for k, v in address.items()
-                            if k not in DROP_ADDR_ITEMS and v is not None
-                            and v not in picked})
-            rows.append({
-                M_TRANSFORMED: addr, M_OSM_ORDER: order,
-                "n_place_id": int(r["place_id"]),
-                "n_place_rank": int(r["place_rank"]),
-                "n_lat": float(r["lat"]), "n_lon": float(r["lon"]),
-                "n_display_name": r.get("display_name", ""),
-                "n_category": r.get("category", ""),
-                "n_namedetails": namedetails,
-                O_STREET: o_street, O_CITY: o_city, O_HOUSENBR: o_hn,
-                O_COUNTRY: o_country, O_POSTCODE: o_pc,
-                O_OTHER: " - ".join(other),
-                O_DISPLAY: r.get("display_name", ""),
-                O_LAT: float(r["lat"]), O_LON: float(r["lon"]),
-            })
-    cols = [M_TRANSFORMED, M_OSM_ORDER, "n_place_id", "n_place_rank",
-            "n_lat", "n_lon", "n_display_name", "n_category",
-            "n_namedetails", O_STREET, O_CITY, O_HOUSENBR, O_COUNTRY,
-            O_POSTCODE, O_OTHER, O_DISPLAY, O_LAT, O_LON]
-    return pd.DataFrame(rows, columns=cols)
+        rows.extend(_shape_candidates(addr, results))
+    return pd.DataFrame(rows, columns=_CAND_COLS)
 
 
 def _match_parent(results: pd.DataFrame, rejects: pd.DataFrame, gazetteer,
@@ -165,14 +175,40 @@ def _match_parent(results: pd.DataFrame, rejects: pd.DataFrame, gazetteer,
     return results, rejects
 
 
+def _structured_candidates(sent: pd.DataFrame, gazetteer,
+                           cfg: PipelineConfig) -> pd.DataFrame:
+    """osm_structured mode: query the geocoder with the five components
+    directly instead of the assembled free-text string (get_osm_struct
+    branch of process_osm, utils.py:352-375); dedup on the component
+    tuple, keyed back via the transformed-address string."""
+    uniq = sent.drop_duplicates(
+        subset=[M_TRANSFORMED]).loc[:, [M_TRANSFORMED, STREET, HOUSENBR,
+                                        POSTCODE, CITY, COUNTRY]]
+    frames = []
+    for row in uniq.itertuples(index=False):
+        results = gazetteer.search_structured(
+            street=getattr(row, STREET), housenumber=getattr(row, HOUSENBR),
+            postcode=getattr(row, POSTCODE), city=getattr(row, CITY),
+            country=getattr(row, COUNTRY), limit=cfg.max_results,
+            namedetails=cfg.check_results)
+        frames.append((getattr(row, M_TRANSFORMED), results))
+    rows = []
+    for addr, results in frames:
+        rows.extend(_shape_candidates(addr, results))
+    return pd.DataFrame(rows, columns=_CAND_COLS)
+
+
 def _process_osm(sent: pd.DataFrame, gazetteer, cfg: PipelineConfig,
                  check_results: bool) -> tuple[pd.DataFrame, pd.DataFrame]:
     """Geocode + explode + validate-or-head(1) (utils.py:303-441)."""
     empty = pd.DataFrame(columns=list(sent.columns) + [M_REJECT_REASON])
     if sent.shape[0] == 0:
         return empty, empty
-    uniq = sent[M_TRANSFORMED].drop_duplicates().tolist()
-    cands = _explode_candidates(uniq, gazetteer, cfg)
+    if cfg.osm_structured:
+        cands = _structured_candidates(sent, gazetteer, cfg)
+    else:
+        uniq = sent[M_TRANSFORMED].drop_duplicates().tolist()
+        cands = _explode_candidates(uniq, gazetteer, cfg)
     osm = sent.merge(cands, on=M_TRANSFORMED)
     if osm.shape[0] == 0:
         return empty, empty

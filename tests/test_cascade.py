@@ -161,3 +161,26 @@ def test_full_batch_every_class_resolves(world):
     assert set(out[ADDR_KEY]) == set(addrs[ADDR_KEY])
     # extra house number columns populated for matches
     assert (m["o_in_house_number"] == m[HOUSENBR]).all()
+
+
+def test_osm_structured_mode(world):
+    spec, gaz, parser, _ = world
+    from georay.config import PipelineConfig
+    cfg = PipelineConfig(osm_structured=True)
+    st = gaz.places[gaz.places.place_rank == 26].iloc[0]
+    out = process_addresses_df(
+        pd.DataFrame([_addr("k1", st["name"], "4", st["post_code"],
+                            st["post_name"])]), gaz, parser, cfg)
+    m = out[out.status == "match"]
+    assert len(m) == 1 and m.iloc[0]["m_place_rank"] == 30
+    assert m.iloc[0]["m_method"] == "orig"
+
+
+def test_nozip_nocountry_transformers(world):
+    spec, gaz, parser, cfg = world
+    df = pd.DataFrame([_addr("1", "Avenue Fonsny", "20", "1060",
+                             "Bruxelles")])
+    out = apply_transformers(df, ["nozip"], parser, gaz, cfg)
+    assert len(out) == 1 and out.iloc[0][POSTCODE] == ""
+    out2 = apply_transformers(df, ["nocountry"], parser, gaz, cfg)
+    assert len(out2) == 1 and out2.iloc[0][COUNTRY] == ""
