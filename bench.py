@@ -37,10 +37,19 @@ def _bench_docs(sf_name: str) -> int:
 
 
 def run_bench() -> dict:
+    import logging
+
     import ray
     num_cpus = _num_cpus()
+    # log_to_driver=False: Ray's shuffle machinery forwards zero-column
+    # empty blocks for empty partitions without calling the UDF, and its
+    # read layer warns on unhashable parquet schema metadata — both are
+    # Ray-internal cosmetics (engine batch fns emit typed, schema-stable
+    # outputs even when empty; see shuffle.grouped_map docstring).  Keep
+    # the bench log to the one JSON line.
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR", log_to_driver=False)
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False

@@ -124,6 +124,36 @@ def validate_geocode_args(mode: str = "short", with_rejected: bool = False,
         raise ValueError(f"mode must be one of {MODES}, got {mode!r}")
 
 
+FULL_ADDRESS = "full_address"
+
+
+def resolve_input_fields(data: dict, check_result: bool,
+                         osm_structured: bool = False) -> dict:
+    """fullAddress free-text input mode with the reference's
+    mutual-exclusion validation (nominatimwrapper.py:571-586): the
+    free-text address cannot be combined with any structured field, with
+    structuredOsm, or with checkResult; when accepted, the whole string
+    becomes the street field ('' elsewhere) and the cascade's
+    transformers take it from there (get_init_df, utils.py:902-911)."""
+    if FULL_ADDRESS not in data:
+        return data
+    forbidden = sorted(f for f in INPUT_FIELDS if f in data)
+    if forbidden:
+        raise ValueError("field 'full_address' cannot be used together "
+                         "with fields " + ";".join(forbidden))
+    if osm_structured:
+        raise ValueError("field 'full_address' cannot be used together "
+                         "with 'osm_structured=True'")
+    if check_result:
+        raise ValueError("field 'full_address' cannot be used together "
+                         "with 'check_result=True'")
+    out = {k: v for k, v in data.items() if k != FULL_ADDRESS}
+    for f in INPUT_FIELDS:
+        out[f] = ""
+    out[STREET] = str(data[FULL_ADDRESS] or "")
+    return out
+
+
 def _world(spec: GazetteerSpec | None):
     spec = spec or GazetteerSpec()
     return get_gazetteer(spec), AddressParser()
@@ -206,9 +236,13 @@ def geocode_one(data: dict, mode: str = "short", with_rejected: bool = True,
     """Single-address geocode (POST /geocode semantics,
     nominatimwrapper.py:504-668 + process_address utils.py:1100-1192):
     fastmode tries a direct call first; otherwise the full cascade runs
-    on a 1-row batch."""
+    on a 1-row batch.  Accepts ``full_address`` free-text input with the
+    reference's mutual-exclusion rules (see resolve_input_fields)."""
     validate_geocode_args(mode, with_rejected, check_result,
                           extra_house_number)
+    data = resolve_input_fields(
+        data, check_result,
+        osm_structured=bool(cfg and cfg.osm_structured))
     gaz, parser = _world(spec)
     if fastmode and not check_result:
         fast = _fast_path(data, gaz, parser, with_rejected,
@@ -248,6 +282,9 @@ def batch_geocode(payload: list[dict], mode: str = "short",
                           extra_house_number)
     if not payload:
         raise ValueError("empty payload")
+    payload = [resolve_input_fields(
+        p, check_result, osm_structured=bool(cfg and cfg.osm_structured))
+        for p in payload]
     keys = [str(p.get(ADDR_KEY, "")) for p in payload]
     if any(not k for k in keys):
         raise ValueError("missing mandatory field addr_key")

@@ -351,10 +351,17 @@ def _finalize(df: pd.DataFrame, extra_cols: list[str]) -> pd.DataFrame:
 
 
 def process_addresses_df(df: pd.DataFrame, gazetteer, parser,
-                         cfg: PipelineConfig) -> pd.DataFrame:
+                         cfg: PipelineConfig,
+                         stats_out: list | None = None) -> pd.DataFrame:
     """Full cascade over one batch of addresses → fixed-schema frame with
     one row per match/reject plus 'unmatched' stubs
-    (utils.py:1195-1279)."""
+    (utils.py:1195-1279).
+
+    ``stats_out`` (optional list) receives one dict per executed cascade
+    step: {step, method, todo, sent, match, reject_rec, seconds} — the
+    reference's ``timestats``/step-stats analogue (base.py:275-301,
+    utils.py:678-686), surfaced instead of discarded."""
+    import time as _time
     base_cols = [ADDR_KEY] + INPUT_FIELDS
     extra_cols = [c for c in df.columns if c not in base_cols]
     inputs = df[base_cols].copy()
@@ -364,7 +371,8 @@ def process_addresses_df(df: pd.DataFrame, gazetteer, parser,
     chunk = inputs
     matches = []
     rejects = []
-    for transformers in cfg.cascade:
+    for step_idx, transformers in enumerate(cfg.cascade):
+        t0 = _time.perf_counter()
         try:
             res, rej, _stats = _transform_and_process(
                 chunk, transformers, gazetteer, parser, cfg)
@@ -372,6 +380,13 @@ def process_addresses_df(df: pd.DataFrame, gazetteer, parser,
             res = chunk[[ADDR_KEY]].copy()
             res[M_METHOD] = "error on " + "+".join(transformers) + f": {type(exc).__name__}"
             rej = pd.DataFrame(columns=[ADDR_KEY])
+            _stats = {"method": "+".join(transformers),
+                      "todo": int(chunk.shape[0]), "sent": 0,
+                      "match": int(res.shape[0]), "reject_rec": 0}
+        if stats_out is not None:
+            _stats["step"] = step_idx
+            _stats["seconds"] = round(_time.perf_counter() - t0, 6)
+            stats_out.append(_stats)
         if res.shape[0] > 0:
             matches.append(res)
         if rej.shape[0] > 0 and cfg.with_rejected:
@@ -491,6 +506,46 @@ def address_cascade_fn(spec: GazetteerSpec | None = None,
             worker = CascadeGeocoder(spec=spec, cfg=cfg)
             _PROCESS_COMPONENT_CACHE[key] = worker
         return worker(batch)
+
+    return fn
+
+
+STEP_STATS_SCHEMA = pa.schema([
+    ("step", pa.int64()), ("method", pa.string()), ("todo", pa.int64()),
+    ("sent", pa.int64()), ("match", pa.int64()), ("reject_rec", pa.int64()),
+    ("seconds", pa.float64())])
+
+
+def step_stats_fn(spec: GazetteerSpec | None = None,
+                  cfg: PipelineConfig | None = None,
+                  spans: bool = False):
+    """Stateless-task batch fn for a dedicated stats pass: runs the full
+    cascade per batch and emits ONE ROW PER CASCADE STEP with the
+    reference's timestats/step-stats counters (base.py:275-301 reset per
+    request; utils.py:678-686 todo/sent/match/reject) instead of the
+    geocode rows.  Aggregate with ``pipeline.step_stats``."""
+    spec = spec or GazetteerSpec()
+    cfg = cfg or PipelineConfig()
+    key = ("addr_cascade", spec, repr(cfg))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        worker = _PROCESS_COMPONENT_CACHE.get(key)
+        if worker is None:
+            worker = CascadeGeocoder(spec=spec, cfg=cfg)
+            _PROCESS_COMPONENT_CACHE[key] = worker
+        df = batch.to_pandas()
+        if spans:
+            from .spans import explode_spans
+            df = explode_spans(batch).to_pandas()
+            df = df[df["is_address"]]
+        stats: list[dict] = []
+        if df.shape[0]:
+            process_addresses_df(df[[ADDR_KEY] + INPUT_FIELDS],
+                                 worker.gazetteer, worker.parser, worker.cfg,
+                                 stats_out=stats)
+        return pa.Table.from_pylist(
+            [{k: s.get(k) for k in STEP_STATS_SCHEMA.names} for s in stats],
+            schema=STEP_STATS_SCHEMA)
 
     return fn
 

@@ -63,14 +63,23 @@ def run_resumable(shards: list[tuple[str, Callable[[], "ray.data.Dataset"]]],
     the shard's output dataset (e.g. status counts) — stored in the
     lineage record.
     """
+    import shutil
     manifest = Manifest(out_dir)
     for partition_id, build in shards:
         if manifest.is_done(partition_id):
             continue
         t0 = time.time()
         part_dir = os.path.join(out_dir, f"part={partition_id}")
+        # crash idempotency: a shard killed mid-write must not leave
+        # partial files that a resume would double-count — write to a
+        # .tmp dir and rename into place before recording the manifest
+        part_tmp = part_dir + ".tmp"
+        for stale in (part_tmp, part_dir):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         ds = build()
-        ds.write_parquet(part_dir)
+        ds.write_parquet(part_tmp)
+        os.rename(part_tmp, part_dir)
         out = ray.data.read_parquet(part_dir)
         rows = out.count()
         counters = counters_fn(out) if counters_fn else {}
@@ -79,19 +88,42 @@ def run_resumable(shards: list[tuple[str, Callable[[], "ray.data.Dataset"]]],
     return manifest
 
 
-def status_counters(ds: "ray.data.Dataset") -> dict:
-    """Default per-partition counters: rows per status label (the
-    reference's step stats analogue, utils.py:678-686)."""
+def _rollup(ds: "ray.data.Dataset", col: str) -> dict:
     import pyarrow as pa
     from ray.data.aggregate import Sum
 
     def fn(batch: pa.Table) -> pa.Table:
-        t = batch.group_by("status").aggregate([([], "count_all")])
-        return t.rename_columns(["status", "n"])
+        t = batch.group_by(col).aggregate([([], "count_all")])
+        return t.rename_columns([col, "n"])
+    pdf = (ds.map_batches(fn, batch_format="pyarrow")
+             .groupby(col).aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    return {str(k): int(v) for k, v in zip(pdf[col], pdf["n"])}
+
+
+def status_counters(ds: "ray.data.Dataset") -> dict:
+    """Default per-partition counters: rows per status label (the
+    reference's step stats analogue, utils.py:678-686)."""
     try:
-        pdf = (ds.map_batches(fn, batch_format="pyarrow")
-                 .groupby("status").aggregate(Sum("n", alias_name="n"))
-                 .to_pandas())
-        return dict(zip(pdf["status"], pdf["n"].astype(int)))
+        return _rollup(ds, "status")
     except Exception:
         return {}
+
+
+def pipeline_counters(ds: "ray.data.Dataset") -> dict:
+    """Lineage counters for a geocode-output partition: rows per status
+    AND per cascade step/method (match + reject counts by ``m_method``
+    — the per-step slice of the reference's step stats that is derivable
+    from the output rows; exact todo/sent per step come from the
+    dedicated ``pipeline.step_stats`` pass)."""
+    out: dict = {}
+    try:
+        out["status"] = _rollup(ds, "status")
+        import pyarrow.compute as pc
+        match = ds.map_batches(
+            lambda b: b.filter(pc.equal(b["status"], "match")),
+            batch_format="pyarrow")
+        out["match_by_method"] = _rollup(match, "m_method")
+    except Exception:
+        pass
+    return out

@@ -329,22 +329,48 @@ def q_rel_top1_per_key(sf_dir: str):
 
 
 def q_rel_anti_join(sf_dir: str):
-    orders = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
-                                   columns=["o_custkey"])
-    have = set(orders.unique("o_custkey"))
+    """Co-partitioned anti-join (customers with no order): tag + union
+    the two key streams, ONE hash shuffle on the key, then emit probe
+    keys whose partition holds no build-side row.  The build side is
+    locally deduped map-side so the shuffle moves distinct keys, and no
+    key set ever materializes on the driver (scales with partitions)."""
+    import pyarrow.compute as pc
 
-    def anti(batch: pa.Table) -> pa.Table:
-        mask = pa.array([c not in have
-                         for c in batch["c_custkey"].to_pylist()],
-                        pa.bool_())
-        return batch.filter(mask).select(["c_custkey"])
+    from .shuffle import grouped_map
 
-    cust = ray.data.read_parquet(os.path.join(sf_dir, "customer.parquet"),
-                                 columns=["c_custkey"])
-    pdf = cust.map_batches(anti, batch_format="pyarrow").to_pandas()
-    if pdf.empty:  # all customers ordered — keep the typed schema
+    def tag(col: str, side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch[col]
+            if side == 1:  # build side: local distinct shrinks the shuffle
+                keys = pc.unique(keys)
+            return pa.table({"k": keys,
+                             "_side": pa.array(
+                                 np.full(len(keys), side, dtype=np.int8))})
+        return fn
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"]).map_batches(tag("c_custkey", 0),
+                                           batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"]).map_batches(tag("o_custkey", 1),
+                                           batch_format="pyarrow")
+
+    def anti(df: pd.DataFrame) -> pa.Table:
+        have = df.loc[df["_side"] == 1, "k"].unique()
+        probe = df.loc[df["_side"] == 0, "k"]
+        keep = probe[~probe.isin(have)].to_numpy()
+        return pa.table({"c_custkey": pa.array(keep, pa.int64())})
+
+    out = grouped_map(cust.union(orders), "k", anti, num_partitions=32,
+                      group_fn=False)
+    # typed-empty guard: an all-empty result would otherwise surface
+    # Ray's zero-column empty blocks as a schema-less frame
+    pdf = out.to_pandas()
+    if pdf.empty:
         return pa.table({"c_custkey": pa.array([], pa.int64())})
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+    return pa.Table.from_pandas(pdf[["c_custkey"]], preserve_index=False)
 
 
 def q_rel_first_event(sf_dir: str):
@@ -407,8 +433,8 @@ def q_doc_token_stats(sf_dir: str):
     out = ds.map_batches(token_stats, batch_format="pyarrow")
 
     def punct(batch: pa.Table) -> pa.Table:
-        import re
-        n_punct = [len(re.findall(r"[^\w\s]", t or ""))
+        from .ops.text import _PUNCT  # re.ASCII — matches the RE2 oracle
+        n_punct = [len(_PUNCT.findall(t or ""))
                    for t in batch["text"].to_pylist()]
         return pa.table({"doc_id": batch["doc_id"],
                          "n_tokens": batch["n_tokens"],
@@ -477,8 +503,12 @@ def q_doc_ngram_jaccard(sf_dir: str):
 
 
 def _first_queries(sf_dir: str, n=5) -> np.ndarray:
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    pdf = t.to_pandas().sort_values("vec_id").head(n)
+    # row-filter pushdown: only the n query vectors leave storage — the
+    # driver never reads the full embeddings table (scale rule)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n)])
+    pdf = t.to_pandas().sort_values("vec_id")
     return np.array(pdf["embedding"].tolist(), dtype=np.float64)
 
 
@@ -493,11 +523,12 @@ def q_emb_topk_brute(sf_dir: str):
 
 def q_emb_topk_ivf(sf_dir: str):
     from .ops.similarity import kmeans_lite, topk_cosine_ivf
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    mat = np.array(t.to_pandas()["embedding"].tolist(), dtype=np.float64)
-    cents = kmeans_lite(mat[:256], n_clusters=8)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
+    # codebook from a Dataset-side sample: only 256 rows reach the driver
+    sample = ds.limit(256).to_pandas()
+    mat = np.array(sample["embedding"].tolist(), dtype=np.float64)
+    cents = kmeans_lite(mat, n_clusters=8)
     out = topk_cosine_ivf(ds, _first_queries(sf_dir), cents, k=5,
                           n_probe=4).to_pandas()
     return pa.Table.from_pandas(out[["query_id", "vec_id", "rank"]]
@@ -583,9 +614,9 @@ def build_oracle_sql() -> dict[str, str]:
             from d where rnk <= 3""",
         "rel_groupby_agg": """
             select l_returnflag, l_linestatus,
-                   sum(cast(l_quantity as bigint)) as sum_qty,
-                   sum(cast(floor(l_extendedprice*(1-l_discount)*100+0.5)
-                            as bigint)) as sum_rev_c,
+                   cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
+                   cast(sum(cast(floor(l_extendedprice*(1-l_discount)*100+0.5)
+                            as bigint)) as bigint) as sum_rev_c,
                    count(*) as n
             from lineitem group by 1, 2""",
         "rel_top1_per_key": """

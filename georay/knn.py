@@ -143,13 +143,18 @@ def knn_points_broadcast(query_df: pd.DataFrame, ref_lat: np.ndarray,
 
 
 def knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k: int = 3,
-                           query_cols=None, ref_cols=None):
+                           query_cols=None, ref_cols=None,
+                           num_partitions: int = 32):
     """Generic both-sides-large kNN join over Ray Datasets.
 
     ``bucket_fn(df) -> Series`` assigns the co-partition key to either
-    side; ``score_fn(qrow, ref_df) -> (scores, ids)``.  One
-    ``groupby(bucket)`` shuffle; scoring runs inside ``map_groups``.
-    """
+    side; ``score_fn(q_df, ref_df) -> (scores, ids)`` scores a whole
+    bucket at once — ``scores`` shaped (len(q_df), len(ref_df)) — so the
+    kernel is one vectorized matrix op per bucket, never a per-row loop.
+    One hash shuffle on the bucket key (partitioned ``grouped_map``, many
+    buckets per task — not per-group materialization); top-k selection is
+    argpartition + one lexsort per partition, deterministic tie-break on
+    (score desc, neighbor id asc)."""
     import ray.data  # noqa: F401
 
     def tag(side):
@@ -164,19 +169,44 @@ def knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k: int = 3,
     r = refs.map_batches(tag("r"), batch_format="pyarrow")
     both = q.union(r)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        qs = g[g["_side"] == "q"]
-        rs = g[g["_side"] == "r"]
-        rows = []
-        for _, qrow in qs.iterrows():
-            scores, ids = score_fn(qrow, rs)
-            order = np.argsort(-np.asarray(scores))[:k]
-            for rank, oi in enumerate(order):
-                rows.append({**{c: qrow[c] for c in (query_cols or qs.columns)
-                                if not c.startswith("_")},
-                             "neighbor_id": ids[oi],
-                             "score": float(scores[oi]), "rank": rank + 1})
-        return pd.DataFrame(rows)
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby("_bucket", sort=False):
+            qs = g[g["_side"] == "q"]
+            rs = g[g["_side"] == "r"]
+            if qs.empty or rs.empty:
+                continue
+            scores, ids = score_fn(qs, rs)
+            scores = np.asarray(scores, dtype=np.float64)
+            ids = np.asarray(ids)
+            nq, nr = scores.shape
+            kk = min(k, nr)
+            cand = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            row_idx = np.repeat(np.arange(nq), kk)
+            col_idx = cand.ravel()
+            s = scores[row_idx, col_idx]
+            # grouped by query row, then score desc, then neighbor id asc
+            order = np.lexsort((ids[col_idx], -s, row_idx))
+            qcols = [c for c in (query_cols if query_cols is not None
+                                 else qs.columns)
+                     if not str(c).startswith("_")]
+            frame = qs.iloc[row_idx[order]][qcols].reset_index(drop=True)
+            frame["neighbor_id"] = ids[col_idx[order]]
+            frame["score"] = s[order]
+            frame["rank"] = np.tile(np.arange(1, kk + 1), nq)
+            frames.append(frame)
+        if not frames:
+            qs = df[df["_side"] == "q"].iloc[0:0]
+            qcols = [c for c in (query_cols if query_cols is not None
+                                 else qs.columns)
+                     if not str(c).startswith("_")]
+            e = qs[qcols].copy()
+            e["neighbor_id"] = np.array([], dtype=np.int64)
+            e["score"] = np.array([], dtype=np.float64)
+            e["rank"] = np.array([], dtype=np.int64)
+            return e
+        return pd.concat(frames, ignore_index=True)
 
-    return both.groupby("_bucket").map_groups(per_bucket,
-                                              batch_format="pandas")
+    from .shuffle import grouped_map
+    return grouped_map(both, "_bucket", per_partition,
+                       num_partitions=num_partitions, group_fn=False)

@@ -47,6 +47,39 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
                     dtype=np.uint64)
 
 
+# per-worker-process cache: the hasher's permutation coefficients are
+# built once per (k, seed, shingle_n) per worker, not per batch
+# (state-once-per-worker rule, cascade.py rationale)
+_MINHASHER_CACHE: dict = {}
+
+
+def get_minhasher(k: int = 64, seed: int = 1234,
+                  shingle_n: int = 3) -> "MinHasher":
+    key = (k, seed, shingle_n)
+    h = _MINHASHER_CACHE.get(key)
+    if h is None:
+        h = MinHasher(k=k, seed=seed, shingle_n=shingle_n)
+        _MINHASHER_CACHE[key] = h
+    return h
+
+
+def _id_type(series: pd.Series) -> pa.DataType:
+    """Arrow type for an id column coming out of a pandas partition."""
+    if series.dtype == object:
+        return pa.string()
+    return pa.from_numpy_dtype(series.dtype)
+
+
+def _pairs_table(rows: list[tuple], id_t: pa.DataType, extra_name: str,
+                 extra_t: pa.DataType) -> pa.Table:
+    """Typed (id_a, id_b, <extra>) table — explicit types so empty
+    partitions keep the stream schema stable (no null-typed blocks)."""
+    return pa.table({
+        "id_a": pa.array([r[0] for r in rows], id_t),
+        "id_b": pa.array([r[1] for r in rows], id_t),
+        extra_name: pa.array([r[2] for r in rows], extra_t)})
+
+
 class MinHasher:
     """k-permutation MinHash over word shingles; state (the permutation
     coefficients) built once per actor."""
@@ -85,13 +118,16 @@ def exact_duplicates(ds: "ray.data.Dataset", id_col: str = "doc_id",
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pa.Table:
         df = df.sort_values(id_col, kind="mergesort")
         keeper = df.groupby("content_key")[id_col].transform("min")
         rest = df[df[id_col] != keeper]
-        return pd.DataFrame({id_col: rest[id_col].to_numpy(),
-                             "keeper_id": keeper[rest.index].to_numpy(),
-                             "content_key": rest["content_key"].to_numpy()})
+        id_t = _id_type(df[id_col])
+        return pa.table({id_col: pa.array(rest[id_col].tolist(), id_t),
+                         "keeper_id": pa.array(keeper[rest.index].tolist(),
+                                               id_t),
+                         "content_key": pa.array(
+                             rest["content_key"].tolist(), pa.string())})
 
     from ..shuffle import grouped_map
     return grouped_map(keyed, "content_key", per_partition, group_fn=False)
@@ -113,7 +149,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
     rows_per_band = k // bands
 
     def to_buckets(batch: pa.Table) -> pa.Table:
-        hasher = MinHasher(k=k, shingle_n=shingle_n)
+        hasher = get_minhasher(k=k, shingle_n=shingle_n)
         ids, bkt, sig_out = [], [], []
         for i, t in enumerate(batch[text_col].to_pylist()):
             sig = hasher.signature(t)
@@ -131,7 +167,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pa.Table:
         out = []
         for _, g in df.groupby("bucket", sort=False):
             if len(g) < 2:
@@ -150,7 +186,8 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
                     for off in np.flatnonzero(sim >= threshold):
                         out.append((ids[i], ids[i + 1 + off],
                                     float(sim[off])))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "est_jaccard"])
+        return _pairs_table(out, _id_type(df[id_col]), "est_jaccard",
+                            pa.float64())
 
     from ..shuffle import grouped_map
     pairs = grouped_map(buckets, "bucket", per_partition, group_fn=False)
@@ -197,7 +234,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pa.Table:
         out = []
         for _, g in df.groupby("bucket", sort=False):
             g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
@@ -209,7 +246,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                 ham = np.array([bin(int(v)).count("1") for v in x])
                 for off in np.flatnonzero(ham <= max_hamming):
                     out.append((ids[i], ids[i + 1 + off], int(ham[off])))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"])
+        return _pairs_table(out, _id_type(df[id_col]), "hamming", pa.int64())
 
     from ..shuffle import grouped_map
     pairs = grouped_map(buckets, "bucket", per_partition, group_fn=False)
@@ -225,7 +262,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
     buckets (recall limited by LSH — documented), verified by exact
     shingle-set Jaccard inside the group."""
     def to_buckets(batch: pa.Table) -> pa.Table:
-        hasher = MinHasher(k=k, shingle_n=shingle_n)
+        hasher = get_minhasher(k=k, shingle_n=shingle_n)
         rows_per_band = k // bands
         ids, bkt, sh = [], [], []
         for i, t in enumerate(batch[text_col].to_pylist()):
@@ -244,7 +281,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pa.Table:
         out = []
         for _, g in df.groupby("bucket", sort=False):
             g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
@@ -258,7 +295,8 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
                     jac = inter / union if union else 0.0
                     if jac >= threshold:
                         out.append((ids[i], ids[j], round(jac, 6)))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"])
+        return _pairs_table(out, _id_type(df[id_col]), "jaccard",
+                            pa.float64())
 
     from ..shuffle import grouped_map
     pairs = grouped_map(buckets, "bucket", per_partition, group_fn=False)
@@ -268,15 +306,25 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
 
 def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
                         n_planes: int = 12, seed: int = 99,
-                        id_col: str = "vec_id", vec_col: str = "embedding"
-                        ) -> "ray.data.Dataset":
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        max_bucket: int = 4096) -> "ray.data.Dataset":
     """Near-duplicate pairs by cosine >= threshold: random-hyperplane LSH
-    bucket map-side, exact cosine verify in-group."""
+    bucket map-side, exact cosine verify in-group.
+
+    Skew guard (same hub-and-spoke plan as minhash_lsh_pairs): a bucket
+    beyond ``max_bucket`` rows (mass-duplicated vectors) compares every
+    member only against the bucket's minimum id instead of forming the
+    O(n²) in-group cosine matrix — output stays linear in bucket size and
+    duplicate groups remain connected through the hub."""
     def to_buckets(batch: pa.Table) -> pa.Table:
         vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((vecs.shape[1] if vecs.ndim == 2 else 1,
-                                      n_planes))
+        dim = vecs.shape[1] if vecs.ndim == 2 else 1
+        ck = ("planes", dim, n_planes, seed)
+        planes = _MINHASHER_CACHE.get(ck)
+        if planes is None:
+            planes = np.random.default_rng(seed).standard_normal(
+                (dim, n_planes))
+            _MINHASHER_CACHE[ck] = planes
         signs = (vecs @ planes) > 0
         code = signs @ (1 << np.arange(n_planes))
         return pa.table({id_col: batch[id_col],
@@ -285,20 +333,28 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pa.Table:
         out = []
         for _, g in df.groupby("bucket", sort=False):
             g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
+            if len(g) < 2:
+                continue
             v = np.array(g[vec_col].tolist(), dtype=np.float64)
-            if len(v) >= 2:
-                norm = np.linalg.norm(v, axis=1, keepdims=True)
-                vn = v / np.maximum(norm, 1e-12)
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
+                                1e-12)
+            ids = g[id_col].tolist()
+            if len(ids) > max_bucket:   # hub-and-spoke for mega-buckets
+                sim = vn[1:] @ vn[0]
+                for off in np.flatnonzero(sim >= threshold):
+                    out.append((ids[0], ids[1 + off],
+                                round(float(sim[off]), 6)))
+            else:
                 sim = vn @ vn.T
-                ids = g[id_col].tolist()
                 ii, jj = np.where(np.triu(sim, 1) >= threshold)
                 for i, j in zip(ii, jj):
                     out.append((ids[i], ids[j], round(float(sim[i, j]), 6)))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "cosine"])
+        return _pairs_table(out, _id_type(df[id_col]), "cosine",
+                            pa.float64())
 
     from ..shuffle import grouped_map
     return grouped_map(buckets, "bucket", per_partition, group_fn=False)

@@ -16,9 +16,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_WS = re.compile(r"\s+")
-_TOKEN = re.compile(r"\w+|[^\w\s]", re.U)  # BPE-ish piece count
-_PUNCT = re.compile(r"[^\w\s]", re.U)
+# re.ASCII so \w/\s agree with the DuckDB oracles' RE2 semantics
+# (RE2 \w is ASCII-only): accented chars must classify identically on
+# both sides for the hash-match to hold on non-ASCII input.
+_WS = re.compile(r"\s+", re.ASCII)
+_TOKEN = re.compile(r"\w+|[^\w\s]", re.ASCII)  # BPE-ish piece count
+_PUNCT = re.compile(r"[^\w\s]", re.ASCII)
 
 STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "for", "that", "with"},

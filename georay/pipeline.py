@@ -164,6 +164,29 @@ def geocode_addresses(addrs: "ray.data.Dataset",
                              batch_size=batch_size)
 
 
+def step_stats(ds: "ray.data.Dataset",
+               spec: GazetteerSpec | None = None,
+               cfg: PipelineConfig | None = None,
+               spans: bool = False,
+               batch_size: int = 1024) -> "ray.data.Dataset":
+    """Per-step cascade statistics over a documents (``spans=True``) or
+    flat-address Dataset: one output row per cascade step with summed
+    todo/sent/match/reject counters and wall seconds — the reference's
+    ``timestats`` analogue (base.py:275-301), computed distributed
+    (per-batch partials, one tiny groupby over #steps rows per block)."""
+    from ray.data.aggregate import Sum
+
+    from .cascade import step_stats_fn
+    partials = ds.map_batches(step_stats_fn(spec, cfg, spans=spans),
+                              batch_format="pyarrow", batch_size=batch_size)
+    return (partials.groupby(["step", "method"])
+            .aggregate(Sum("todo", alias_name="todo"),
+                       Sum("sent", alias_name="sent"),
+                       Sum("match", alias_name="match"),
+                       Sum("reject_rec", alias_name="reject_rec"),
+                       Sum("seconds", alias_name="seconds")))
+
+
 def reassemble_documents(span_results: "ray.data.Dataset"
                          ) -> "ray.data.Dataset":
     """Regroup span-level results into documents, preserving span order —

@@ -43,7 +43,9 @@ def grouped_map(ds: "ray.data.Dataset",
                 key: str | list[str],
                 fn: Callable[[pd.DataFrame], pd.DataFrame],
                 num_partitions: int = 64,
-                group_fn: bool = True) -> "ray.data.Dataset":
+                group_fn: bool = True,
+                out_schema: pa.Schema | None = None,
+                schema_preserving: bool = False) -> "ray.data.Dataset":
     """Apply ``fn`` per key-group, executed partition-wise.
 
     - ``group_fn=True`` (default): ``fn`` receives ONE group's rows
@@ -51,6 +53,13 @@ def grouped_map(ds: "ray.data.Dataset",
     - ``group_fn=False``: ``fn`` receives a whole partition (many groups,
       co-partitioned by key) and handles grouping itself — cheapest when
       fn is already vectorized across groups.
+
+    Schema stability (empty partitions must NOT produce a column-less /
+    null-typed block — that forces the streaming executor to re-infer the
+    stream schema per bundle): ``fn`` may return a ``pa.Table`` (passed
+    through verbatim — build it with explicit types), or set
+    ``out_schema`` to cast every pandas result, or set
+    ``schema_preserving=True`` when fn keeps the input columns/types.
     """
     keys = [key] if isinstance(key, str) else list(key)
 
@@ -61,23 +70,31 @@ def grouped_map(ds: "ray.data.Dataset",
 
     parted = ds.map_batches(add_part, batch_format="pyarrow")
 
-    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop(columns=["_part"])
-        if df.empty:
-            return fn(df) if not group_fn else df.iloc[0:0]
+    def per_partition(t: pa.Table) -> pa.Table:
+        in_schema = pa.schema([f for f in t.schema if f.name != "_part"])
+        df = t.drop_columns(["_part"]).to_pandas()
         if not group_fn:
-            return fn(df)
-        outs = []
-        for _, g in df.groupby(keys, sort=False):
-            r = fn(g)
-            if r is not None and len(r):
-                outs.append(r)
-        if not outs:
-            return pd.DataFrame(columns=df.columns).iloc[0:0]
-        return pd.concat(outs, ignore_index=True)
+            res = fn(df)
+        else:
+            outs = []
+            for _, g in df.groupby(keys, sort=False):
+                r = fn(g)
+                if r is not None and len(r):
+                    outs.append(r)
+            res = (pd.concat(outs, ignore_index=True) if outs
+                   else df.iloc[0:0])
+        if isinstance(res, pa.Table):
+            return res
+        target = out_schema
+        if target is None and schema_preserving:
+            target = in_schema
+        if target is None and group_fn and not len(res):
+            target = in_schema  # empty default carries input dtypes
+        return pa.Table.from_pandas(res, schema=target,
+                                    preserve_index=False)
 
     return parted.groupby("_part").map_groups(per_partition,
-                                              batch_format="pandas")
+                                              batch_format="pyarrow")
 
 
 def distinct_on(ds: "ray.data.Dataset", keys: list[str],
@@ -87,9 +104,11 @@ def distinct_on(ds: "ray.data.Dataset", keys: list[str],
     shuffle, so millions of tiny groups cost one pass."""
     def local(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas().drop_duplicates(keys)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(df, schema=batch.schema,
+                                    preserve_index=False)
 
     pre = ds.map_batches(local, batch_format="pyarrow")
     return grouped_map(pre, keys,
                        lambda df: df.drop_duplicates(keys),
-                       num_partitions=num_partitions, group_fn=False)
+                       num_partitions=num_partitions, group_fn=False,
+                       schema_preserving=True)

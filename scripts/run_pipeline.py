@@ -38,7 +38,7 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
     import ray.data
 
-    from georay.checkpoint import run_resumable, status_counters
+    from georay.checkpoint import pipeline_counters, run_resumable
     from georay.config import PipelineConfig
     from georay.gazetteer import GazetteerSpec
     from georay.pipeline import geocode_documents
@@ -60,7 +60,7 @@ def main() -> int:
 
     shards = [(f"p{gi:05d}", build(g)) for gi, g in enumerate(groups)]
     manifest = run_resumable(shards, args.output,
-                             counters_fn=status_counters)
+                             counters_fn=pipeline_counters)
     total = {"partitions": len(manifest.records()),
              "rows": sum(r["rows"] for r in manifest.records()),
              "seconds": round(sum(r["seconds"] for r in manifest.records()), 2)}

@@ -93,3 +93,51 @@ def test_health_check():
     h = health_check(SPEC)
     assert h["status"] == "UP"
     assert set(h["services"]) == {"gazetteer", "parser", "fuzzy"}
+
+
+def test_full_address_only(street):
+    # free-text input mode (nominatimwrapper.py:571-586): the whole
+    # string lands in the street field and the cascade resolves it
+    full = (f"{street['name']} 4, {street['post_code']} "
+            f"{street['post_name']}, Belgium")
+    res = geocode_one({"addr_key": "fa1", "full_address": full},
+                      check_result=False)
+    assert len(res["match"]) == 1
+    m = res["match"][0]
+    assert isinstance(m["metadata"]["placeId"], int)
+    assert m["input"]["streetName"] == full  # street carries the raw text
+
+
+def test_full_address_mutual_exclusion(street):
+    full = f"{street['name']} 4, {street['post_code']} {street['post_name']}"
+    with pytest.raises(ValueError, match="full_address"):
+        geocode_one({"addr_key": "1", "full_address": full,
+                     "street_name": street["name"]}, check_result=False)
+    with pytest.raises(ValueError, match="check_result"):
+        geocode_one({"addr_key": "1", "full_address": full},
+                    check_result=True)
+    from georay.config import PipelineConfig
+    with pytest.raises(ValueError, match="osm_structured"):
+        geocode_one({"addr_key": "1", "full_address": full},
+                    check_result=False,
+                    cfg=PipelineConfig(osm_structured=True,
+                                       check_results=False))
+
+
+def test_full_address_structured_parity(street):
+    # the two input forms must resolve to the same place
+    full = (f"{street['name']} 4, {street['post_code']} "
+            f"{street['post_name']}, Belgium")
+    via_full = geocode_one({"addr_key": "p1", "full_address": full},
+                           check_result=False)
+    via_fields = geocode_one(_payload(street), check_result=False)
+    assert via_full["match"][0]["metadata"]["placeId"] == \
+        via_fields["match"][0]["metadata"]["placeId"]
+
+
+def test_batch_full_address(street):
+    full = (f"{street['name']} 4, {street['post_code']} "
+            f"{street['post_name']}, Belgium")
+    res = batch_geocode([{"addr_key": "b1", "full_address": full}],
+                        check_result=False)
+    assert len(res["match"]) == 1

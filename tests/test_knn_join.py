@@ -37,9 +37,11 @@ def test_knn_join_copartitioned(ray_session):
     def bucket_fn(df):
         return df["bucket_src"]
 
-    def score_fn(qrow, ref_df):
-        scores = 1.0 / (1.0 + (ref_df["x"] - qrow["x"]).abs())
-        return scores.to_numpy(), ref_df["rid"].to_numpy()
+    def score_fn(q_df, ref_df):
+        # vectorized bucket contract: (nq, nref) score matrix
+        diff = np.abs(q_df["x"].to_numpy()[:, None]
+                      - ref_df["x"].to_numpy()[None, :])
+        return 1.0 / (1.0 + diff), ref_df["rid"].to_numpy()
 
     out = knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k=2,
                                  query_cols=["qid"]).to_pandas()
