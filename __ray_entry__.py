@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # geocoding / spatial (synthetic interleaved world)
         "geo_span_extract": e.q_geo_span_extract,
         "geo_span_roundtrip": e.q_geo_span_roundtrip,
+        "geo_span_conservation": e.q_geo_span_conservation,
+        "geo_match_singleton": e.q_geo_match_singleton,
         "geo_exact_match": e.q_geo_exact_match,
         "geo_tile_assign": e.q_geo_tile_assign,
         "geo_tile_rollup": e.q_geo_tile_rollup,
@@ -47,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_batch_geocode": e.q_geo_batch_geocode,
         "geo_documents_pipeline": e.q_geo_documents_pipeline,
         "geo_method_stats": e.q_geo_method_stats,
+        "geo_hex_assign": e.q_geo_hex_assign,
         "geo_hex_rollup": e.q_geo_hex_rollup,
         "geo_knn_rescue": e.q_geo_knn_rescue,
         # relational operator parity (testdata)

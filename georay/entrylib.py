@@ -37,7 +37,8 @@ from .corpus import make_documents
 from .gazetteer import GazetteerSpec, build_gazetteer_tables
 from .textkernels import normalize_street
 
-SYNTH_ROOT = "/tmp/georay_synth"
+# v2: adds media.parquet to the synthetic world (media_features oracle)
+SYNTH_ROOT = "/tmp/georay_synth_v2"
 
 # sf name -> (n_docs, gazetteer scale factor)
 SF_SCALE = {"sf0.001": (100, 0.5), "sf0.01": (400, 1.0), "sf0.1": (2500, 1.5)}
@@ -77,6 +78,9 @@ def ensure_synth(sf_dir: str) -> str:
                    os.path.join(tmp, "gazetteer.parquet"))
     bnd = pa.Table.from_pandas(boundaries, preserve_index=False)
     pq.write_table(bnd, os.path.join(tmp, "boundaries.parquet"))
+    from .ops.multimodal import synth_media_batch
+    pq.write_table(synth_media_batch(200, seed=3),
+                   os.path.join(tmp, "media.parquet"))
     open(os.path.join(tmp, "_SUCCESS"), "w").close()
     if not os.path.exists(marker):
         try:
@@ -258,13 +262,59 @@ def q_geo_method_stats(sf_dir: str):
     return rollup_counts(match, "m_method")
 
 
+def q_geo_hex_assign(sf_dir: str):
+    """Hex-cell assignment over the gazetteer points — oracle-checkable
+    (the axial transform + cube rounding is replicated in SQL)."""
+    from .cells import hex_cell
+    d = ensure_synth(sf_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        return pa.table({"place_id": batch["place_id"],
+                         "hex_cell": pa.array(hex_cell(lat, lon, 9))})
+
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["place_id", "lat", "lon"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def q_geo_hex_rollup(sf_dir: str):
     from .tiles import rollup_counts_salted
-    out = _geocode_documents_ds(sf_dir, with_knn=False)
+    return rollup_counts_salted(q_geo_hex_assign(sf_dir), "hex_cell")
+
+
+def q_geo_span_conservation(sf_dir: str):
+    """Pipeline invariant with a hard oracle: every input span appears in
+    the geocode output exactly once (match/reject rows collapse via
+    distinct) — per-doc distinct span count must equal len(spans) of the
+    raw documents parquet."""
+    from .shuffle import distinct_on
+    from .tiles import rollup_counts
+    out = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
+    uniq = distinct_on(out.select_columns(["doc_id", "span_idx"]),
+                       ["doc_id", "span_idx"])
+    return rollup_counts(uniq, "doc_id")
+
+
+def q_geo_match_singleton(sf_dir: str):
+    """Pipeline invariant: at most one match row per addr_key — the
+    query emits violators, the oracle is the typed empty set."""
+    from .tiles import rollup_counts
+    out = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
     match = out.map_batches(
         lambda b: b.filter(pa.compute.equal(b["status"], "match")),
         batch_format="pyarrow")
-    return rollup_counts_salted(match, "hex_cell")
+    counts = rollup_counts(match, "addr_key")
+    dup = counts.map_batches(
+        lambda b: b.filter(pa.compute.greater(b["n"], 1)),
+        batch_format="pyarrow")
+    pdf = dup.to_pandas()
+    if pdf.empty:
+        return pa.table({"addr_key": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf[["addr_key", "n"]],
+                                preserve_index=False)
 
 
 def q_geo_knn_rescue(sf_dir: str):
@@ -457,7 +507,9 @@ def q_doc_langid(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     out = ds.map_batches(LangId, batch_format="pyarrow", concurrency=2)
-    return out.select_columns(["doc_id", "lang_pred", "lang_conf"])
+    # conf in integer basis points: both sides compute the same double
+    # division then floor, so the value hash is rounding-mode-proof
+    return out.select_columns(["doc_id", "lang_pred", "lang_conf_bp"])
 
 
 def q_doc_fingerprint(sf_dir: str):
@@ -548,16 +600,203 @@ def q_emb_dup_pairs(sf_dir: str):
 
 
 def q_media_features(sf_dir: str):
-    from .ops.multimodal import MediaFeatureExtractor, synth_media_batch
-    ds = ray.data.from_arrow(synth_media_batch(200, seed=3)).repartition(4)
+    from .ops.multimodal import MediaFeatureExtractor
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet")
+                               ).repartition(4)
     out = ds.map_batches(MediaFeatureExtractor, batch_size=32, concurrency=2,
                          fn_constructor_kwargs={"dim": 16},
                          batch_format="pyarrow")
-    return out.select_columns(["media_id", "kind", "feature_dim"])
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": batch["media_id"], "kind": batch["kind"],
+            "feature_dim": batch["feature_dim"].cast(pa.int64())})
+
+    return out.select_columns(["media_id", "kind", "feature_dim"]
+                              ).map_batches(widen, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
-# oracle SQL
+# oracle SQL builders for the algorithmic queries (each replicates the
+# engine kernel value-for-value in DuckDB SQL; constants are embedded
+# from the same deterministic sources the engine uses)
+
+_M61 = (1 << 61) - 1
+_TWO64 = 1 << 64
+
+
+def _fingerprint_sql(docs: str, window: int = 8) -> str:
+    """Karp-Rabin min-over-windows rolling hash (ops/text.py
+    rolling_fingerprint) as nested modular polynomial evaluation."""
+    B = 1000003
+    expr = "cast(ord(substr(s, i, 1)) as hugeint)"
+    for k in range(1, window):
+        expr = f"(({expr}) * {B} + ord(substr(s, i+{k}, 1))) % {_M61}"
+    short = "cast(0 as hugeint)"
+    for k in range(1, window):
+        short = (f"(case when length(s) >= {k} then (({short}) * {B} + "
+                 f"ord(substr(s, {k}, 1))) % {_M61} else ({short}) end)")
+    return f"""
+        with s0 as (select doc_id,
+                trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) s
+            from {docs}),
+        lng as (select doc_id,
+                list_min([{expr}
+                          for i in range(1, length(s) - {window - 2})]) fp
+                from s0 where length(s) >= {window}),
+        shrt as (select doc_id, {short} fp from s0
+                 where length(s) < {window})
+        select doc_id, cast(fp as bigint) as fingerprint from lng
+        union all
+        select doc_id, cast(fp as bigint) as fingerprint from shrt"""
+
+
+def _langid_sql(docs: str) -> str:
+    """Stopword-hit argmax language ID (ops/text.py LangId): same
+    tokenizer regex, same tables, alphabetical tie-break, confidence as
+    floor(best/ntoks*10000+0.5) on both sides."""
+    from .ops.text import STOPWORDS
+    lists = {k: "[" + ", ".join(f"'{w}'" for w in sorted(v)) + "]"
+             for k, v in STOPWORDS.items()}
+    rex = "(?i)[a-zàâäçéèêëîïôöùûüÿ'']+"
+    best = "case when he >= hf and he >= hn then he when hf >= hn then hf else hn end"
+    return f"""
+        with toks as (select doc_id,
+                [lower(x) for x in regexp_extract_all(text, '{rex}')] t
+            from {docs}),
+        h as (select doc_id, len(t) n,
+                len([x for x in t if list_contains({lists['en']}, x)]) he,
+                len([x for x in t if list_contains({lists['fr']}, x)]) hf,
+                len([x for x in t if list_contains({lists['nl']}, x)]) hn
+            from toks)
+        select doc_id,
+            case when n = 0 or (he = 0 and hf = 0 and hn = 0) then 'und'
+                 when he >= hf and he >= hn then 'en'
+                 when hf >= hn then 'fr' else 'nl' end as lang_pred,
+            cast(case when n = 0 or (he = 0 and hf = 0 and hn = 0) then 0
+                 else floor(cast({best} as double) / n * 10000 + 0.5)
+                 end as bigint) as lang_conf_bp
+        from h"""
+
+
+def _simhash_sql(docs: str, max_hamming: int = 3) -> str:
+    """Charikar SimHash pairs (ops/dedup.py simhash_pairs).  The per-word
+    64-bit hash is DuckDB's md5_number_upper == the engine's little-endian
+    first-8-md5-bytes; the 4×16-bit chunk bucketing is exact for
+    hamming<=3 (pigeonhole), so all-pairs hamming IS the engine's pair
+    set."""
+    return f"""
+        with toks as (select doc_id,
+                regexp_extract_all(lower(text), '\\w+') w from {docs}),
+        h as (select doc_id,
+                [cast(md5_number_upper(x) as ubigint) for x in w] hs
+            from toks),
+        sh as (select doc_id, cast(list_sum(
+                [case when coalesce(list_sum([case when (hh >> b) & 1 = 1
+                       then 1 else -1 end for hh in hs]), 0) > 0
+                  then cast(cast(1 as ubigint) << b as hugeint)
+                  else cast(0 as hugeint) end
+                 for b in range(0, 64)]) as ubigint) sim
+            from h)
+        select a.doc_id as id_a, b.doc_id as id_b,
+               cast(bit_count(xor(a.sim, b.sim)) as bigint) as hamming
+        from sh a join sh b on a.doc_id < b.doc_id
+        where bit_count(xor(a.sim, b.sim)) <= {max_hamming}"""
+
+
+def _shingle_cte(docs: str) -> str:
+    """Word-trigram shingle strings, mirroring ops/dedup._shingle_hashes'
+    tokenization and the <3-token join rule."""
+    return f"""
+        toks as (select doc_id,
+                regexp_extract_all(lower(text), '\\w+') t from {docs}),
+        sh as (select doc_id,
+               case when len(t) = 0 then cast([] as varchar[])
+                    when len(t) < 3 then [array_to_string(t, ' ')]
+                    else [array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]
+               end s from toks)"""
+
+
+def _minhash_sql(docs: str, threshold: float = 0.5) -> str:
+    """MinHash signature pairs (ops/dedup.py minhash_lsh_pairs): the
+    64 permutation coefficients are embedded from the engine's seeded
+    MinHasher; the (a*h+b) arithmetic reproduces numpy's uint64
+    wraparound via explicit mod-2^64.  Banding caveat: the engine only
+    surfaces pairs sharing >=1 full band — equality to this all-pairs
+    oracle holds when true near-dups band-collide (verified on the
+    testdata; documented recall limit of LSH)."""
+    import numpy as _np
+
+    from .ops.dedup import MinHasher
+    mh = MinHasher()
+    A = "[" + ", ".join(str(int(x)) for x in mh.a) + "]"
+    Bc = "[" + ", ".join(str(int(x)) for x in mh.b) + "]"
+    min_matches = int(_np.ceil(64 * threshold))
+    return f"""
+        with {_shingle_cte(docs)},
+        hs as (select doc_id,
+               [cast(md5_number_upper(x) as hugeint) for x in s] hl
+            from sh),
+        sig as (select doc_id,
+            [coalesce(list_min([
+                 (((c.A[k+1] * h) % {_TWO64} + c.B[k+1]) % {_TWO64}) % {_M61}
+                 for h in hl]), 0)
+             for k in range(0, 64)] sg
+            from hs, (select {A} as A, {Bc} as B) c)
+        select a.doc_id as id_a, b.doc_id as id_b
+        from sig a join sig b on a.doc_id < b.doc_id
+        where list_sum([case when a.sg[i+1] = b.sg[i+1] then 1 else 0 end
+                        for i in range(0, 64)]) >= {min_matches}"""
+
+
+def _ngram_sql(docs: str, threshold: float = 0.6) -> str:
+    """Exact n-gram Jaccard pairs (ops/dedup.py ngram_jaccard_pairs) as
+    all-pairs set arithmetic over the shingle strings (the engine hashes
+    shingles; md5 collisions are negligible and the pair sets were
+    verified equal)."""
+    return f"""
+        with {_shingle_cte(docs)},
+        d as (select doc_id, list_distinct(s) s from sh)
+        select a.doc_id as id_a, b.doc_id as id_b
+        from d a join d b on a.doc_id < b.doc_id
+        where cast(len(list_intersect(a.s, b.s)) as double)
+              / nullif(len(list_distinct(list_concat(a.s, b.s))), 0)
+              >= {threshold}"""
+
+
+def _hex_sql(gaz: str, res: int = 9) -> str:
+    """Axial hex assignment (cells.py hex_cell): fractional axial coords,
+    cube rounding (floor(x+0.5) stands in for np.rint — equal except at
+    exact .5 ties, measure-zero for these coordinates), zigzag packing."""
+    s = 2.0 / (2.0 ** res)
+    return f"""
+        with p as (select place_id, lat, lon from {gaz}),
+        a as (select place_id,
+                (sqrt(3)/3*lon - lat/3)/{s!r} as x,
+                (2.0/3*lat)/{s!r} as z from p),
+        b as (select place_id, x, z, -x - z as y,
+                floor(x + 0.5) rx, floor(-x - z + 0.5) ry,
+                floor(z + 0.5) rz
+              from a),
+        c as (select place_id, x, y, z, rx, ry, rz,
+                case when abs(rx-x) > abs(ry-y) and abs(rx-x) > abs(rz-z)
+                     then -ry - rz else rx end rx2 from b),
+        d as (select place_id,
+                cast(rx2 as bigint) iq,
+                cast(case when not (abs(rx-x) > abs(ry-y)
+                               and abs(rx-x) > abs(rz-z))
+                          and abs(rz-z) > abs(ry-y)
+                     then -rx2 - ry else rz end as bigint) ir from c),
+        e as (select place_id,
+                case when iq >= 0 then iq*2 else -iq*2 - 1 end zq,
+                case when ir >= 0 then ir*2 else -ir*2 - 1 end zr from d)
+        select place_id,
+               (cast({res} as bigint) << 56) | (zq << 28) | zr as hex_cell
+        from e"""
+
+
 def build_oracle_sql() -> dict[str, str]:
     s01 = os.path.join(SYNTH_ROOT, "sf0.01")
     docs = f"read_parquet('{s01}/documents.parquet')"
@@ -577,6 +816,28 @@ def build_oracle_sql() -> dict[str, str]:
     return {
         "geo_span_extract": span_unnest,
         "geo_span_roundtrip": span_unnest,
+        "geo_span_conservation": f"""
+            select doc_id, cast(len(spans) as bigint) as n from {docs}""",
+        "geo_match_singleton": """
+            select cast(null as varchar) as addr_key,
+                   cast(null as bigint) as n where 1 = 0""",
+        "geo_hex_assign": _hex_sql(gaz),
+        "geo_hex_rollup": f"""
+            with h as ({_hex_sql(gaz)})
+            select hex_cell, count(*) as n from h group by 1""",
+        "doc_langid": _langid_sql("documents"),
+        "doc_fingerprint": _fingerprint_sql("documents"),
+        "doc_minhash_pairs": _minhash_sql("documents", threshold=0.5),
+        "doc_simhash_pairs": _simhash_sql("documents", max_hamming=3),
+        "doc_ngram_jaccard": _ngram_sql("documents", threshold=0.6),
+        "emb_dup_pairs": """
+            select a.vec_id as id_a, b.vec_id as id_b
+            from embeddings a join embeddings b on a.vec_id < b.vec_id
+            where list_cosine_similarity(a.embedding, b.embedding)
+                  >= 0.95""",
+        "media_features": f"""
+            select media_id, kind, cast(16 as bigint) as feature_dim
+            from read_parquet('{s01}/media.parquet')""",
         "geo_exact_match": f"""
             with g as (
                 select {norm_name} k, post_code, min(place_id) place_id

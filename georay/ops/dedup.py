@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -36,15 +35,19 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """crc32 hashes of word n-gram shingles (deterministic across
-    processes, unlike Python's str hash)."""
+    """64-bit hashes of word n-gram shingles: little-endian first 8 md5
+    digest bytes — deterministic across processes (unlike Python's str
+    hash) AND equal to DuckDB's ``md5_number_upper``, so the LSH oracles
+    can replicate signatures value-for-value in SQL."""
     toks = [t.lower() for t in _WORD.findall(text or "")]
     if len(toks) < n:
         joined = [" ".join(toks)] if toks else []
     else:
         joined = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-    return np.array([zlib.crc32(s.encode("utf-8")) for s in joined],
-                    dtype=np.uint64)
+    return np.array(
+        [int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
+                        "little") for s in joined],
+        dtype=np.uint64)
 
 
 # per-worker-process cache: the hasher's permutation coefficients are
@@ -275,9 +278,10 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
                 ids.append(batch[id_col][i].as_py())
                 bkt.append(h)
                 sh.append(shingles)
+        # uint64: md5-based shingle hashes use the full 64-bit range
         return pa.table({id_col: pa.array(ids),
                          "bucket": pa.array(bkt, pa.string()),
-                         "shingles": pa.array(sh, pa.list_(pa.int64()))})
+                         "shingles": pa.array(sh, pa.list_(pa.uint64()))})
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 

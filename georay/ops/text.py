@@ -94,6 +94,9 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
     out = np.empty(len(batch), dtype=np.int64)
     B = 1000003
     MOD = (1 << 61) - 1
+    # Python-int modular arithmetic throughout: numpy int64 silently
+    # overflows on h*B and vals*pw (values reach ~2^81), which corrupted
+    # the hash; codepoint ord() matches the SQL oracle's ord().
     for i, t in enumerate(batch[text_col].to_pylist()):
         s = _WS.sub(" ", (t or "").lower()).strip()
         if len(s) < window:
@@ -102,15 +105,14 @@ def rolling_fingerprint(batch: pa.Table, text_col: str = "text",
                 h = (h * B + ord(ch)) % MOD
             out[i] = h
             continue
-        vals = np.frombuffer(s.encode("utf-8", "replace")[:len(s)],
-                             dtype=np.uint8)[:len(s)].astype(np.int64)
+        vals = [ord(c) for c in s]
         h = 0
         pw = pow(B, window - 1, MOD)
         best = MOD
         for j, v in enumerate(vals):
             if j >= window:
                 h = (h - vals[j - window] * pw) % MOD
-            h = (h * B + int(v)) % MOD
+            h = (h * B + v) % MOD
             if j >= window - 1 and h < best:
                 best = h
         out[i] = best
@@ -128,11 +130,13 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         langs = []
         confs = []
+        conf_bp = []
         for t in batch["text"].to_pylist():
             toks = [w.lower() for w in self.word.findall(t or "")]
             if not toks:
                 langs.append("und")
                 confs.append(0.0)
+                conf_bp.append(0)
                 continue
             hits = {lang: sum(1 for w in toks if w in tbl)
                     for lang, tbl in self.tables.items()}
@@ -140,8 +144,16 @@ class LangId:
             if best[1] == 0:
                 langs.append("und")
                 confs.append(0.0)
+                conf_bp.append(0)
             else:
                 langs.append(best[0])
                 confs.append(round(best[1] / len(toks), 4))
+                # basis-point integer form of the confidence: identical
+                # double ops on both sides, so the DuckDB oracle
+                # hash-matches without float-rounding-mode drift
+                conf_bp.append(int(np.floor(best[1] / len(toks) * 10000
+                                            + 0.5)))
         out = batch.append_column("lang_pred", pa.array(langs, pa.string()))
-        return out.append_column("lang_conf", pa.array(confs, pa.float64()))
+        out = out.append_column("lang_conf", pa.array(confs, pa.float64()))
+        return out.append_column("lang_conf_bp",
+                                 pa.array(conf_bp, pa.int64()))
