@@ -56,6 +56,7 @@ _NESTED_MAP = {
     "o_in_house_number": ("output", "inHouseNumber"),
     "o_lpost_house_number": ("output", "libpostalHouseNumber"),
     "o_lpost_unit": ("output", "libpostalUnit"),
+    "candidate_json": ("metadata", "candidateJson"),
     "c_sim_street": ("check", "simStreet"),
     "c_sim_street_which": ("check", "simStreetWhich"),
     "c_sim_house_number": ("check", "simHouseNumber"),
@@ -253,7 +254,8 @@ def geocode_one(data: dict, mode: str = "short", with_rejected: bool = True,
     for f in INPUT_FIELDS:
         row[f] = str(data.get(f, "") or "")
     cfg = cfg or PipelineConfig(check_results=check_result,
-                                with_extra_house_number=extra_house_number)
+                                with_extra_house_number=extra_house_number,
+                                with_candidate_json=(mode == "long"))
     res = process_addresses_df(pd.DataFrame([row]), gaz, parser, cfg)
     return _format_results(res, mode, with_rejected)
 
@@ -298,7 +300,8 @@ def batch_geocode(payload: list[dict], mode: str = "short",
         rows.append(row)
     gaz, parser = _world(spec)
     cfg = cfg or PipelineConfig(check_results=check_result,
-                                with_extra_house_number=extra_house_number)
+                                with_extra_house_number=extra_house_number,
+                                with_candidate_json=(mode == "long"))
     res = process_addresses_df(pd.DataFrame(rows), gaz, parser, cfg)
     return _format_results(res, mode, with_rejected)
 

@@ -57,6 +57,7 @@ RESULT_COLUMNS: dict[str, object] = {
     O_IN_HOUSENBR: "", O_LPOST_HN: "", O_LPOST_UNIT: "",
     C_SIM_STREET: np.nan, C_SIM_HOUSENBR: np.nan, C_SIM_POSTCODE: np.nan,
     C_SIM_CITY: np.nan, C_SIM_STREET_WHICH: "",
+    "candidate_json": "",
 }
 
 _FLOAT_COLS = {M_DIST_TO_MATCH, O_LAT, O_LON, C_SIM_STREET, C_SIM_HOUSENBR,
@@ -79,10 +80,14 @@ _CAND_COLS = [M_TRANSFORMED, M_OSM_ORDER, "n_place_id", "n_place_rank",
               O_POSTCODE, O_OTHER, O_DISPLAY, O_LAT, O_LON]
 
 
-def _shape_candidates(addr: str, results: list[dict]) -> list[dict]:
+def _shape_candidates(addr: str, results: list[dict],
+                      with_json: bool = False) -> list[dict]:
     """Explode one geocode result list into candidate rows with the o_*
     columns derived (osm_parse_and_split + add_addr_out_columns,
-    utils.py:443-579)."""
+    utils.py:443-579).  ``with_json`` attaches the raw geocoder record
+    as a JSON string (``candidate_json``) — the long-mode full-fidelity
+    tail the fixed o_* schema otherwise collapses (reference long mode
+    returns every Nominatim field, nominatimwrapper.py:632-648)."""
     rows = []
     for order, r in enumerate(results):
         address = r.get("address", {})
@@ -99,7 +104,13 @@ def _shape_candidates(addr: str, results: list[dict]) -> list[dict]:
         other = sorted({v for k, v in address.items()
                         if k not in DROP_ADDR_ITEMS and v is not None
                         and v not in picked})
+        extra = {}
+        if with_json:
+            import json as _json
+            extra["candidate_json"] = _json.dumps(r, sort_keys=True,
+                                                  default=str)
         rows.append({
+            **extra,
             M_TRANSFORMED: addr, M_OSM_ORDER: order,
             "n_place_id": int(r["place_id"]),
             "n_place_rank": int(r["place_rank"]),
@@ -119,13 +130,30 @@ def _shape_candidates(addr: str, results: list[dict]) -> list[dict]:
 def _explode_candidates(uniq_addrs: list[str], gazetteer, cfg: PipelineConfig
                         ) -> pd.DataFrame:
     """Per unique transformed address: geocode the free-text string and
-    explode candidates."""
+    explode candidates.
+
+    The shaped rows are memoized per worker on the gazetteer instance:
+    real corpora are Zipf-skewed (the same street recurs across many
+    documents), so across batches most addresses are repeats — the
+    geocode + dict shaping then collapses to a dict hit.  Shared row
+    dicts are read-only downstream (DataFrame construction copies)."""
+    memo = getattr(gazetteer, "_explode_memo", None)
+    if memo is None:
+        memo = gazetteer._explode_memo = {}
+    wj = cfg.with_candidate_json
+    key_tail = (cfg.max_results, cfg.check_results, wj)
     rows = []
     for addr in uniq_addrs:
-        results = gazetteer.search(addr, limit=cfg.max_results,
-                                   namedetails=cfg.check_results)
-        rows.extend(_shape_candidates(addr, results))
-    return pd.DataFrame(rows, columns=_CAND_COLS)
+        hit = memo.get((addr, key_tail))
+        if hit is None:
+            results = gazetteer.search(addr, limit=cfg.max_results,
+                                       namedetails=cfg.check_results)
+            hit = _shape_candidates(addr, results, with_json=wj)
+            if len(memo) < (1 << 17):
+                memo[(addr, key_tail)] = hit
+        rows.extend(hit)
+    cols = (["candidate_json"] if wj else []) + _CAND_COLS
+    return pd.DataFrame(rows, columns=cols)
 
 
 def _match_parent(results: pd.DataFrame, rejects: pd.DataFrame, gazetteer,
@@ -193,9 +221,11 @@ def _structured_candidates(sent: pd.DataFrame, gazetteer,
             namedetails=cfg.check_results)
         frames.append((getattr(row, M_TRANSFORMED), results))
     rows = []
+    wj = cfg.with_candidate_json
     for addr, results in frames:
-        rows.extend(_shape_candidates(addr, results))
-    return pd.DataFrame(rows, columns=_CAND_COLS)
+        rows.extend(_shape_candidates(addr, results, with_json=wj))
+    cols = (["candidate_json"] if wj else []) + _CAND_COLS
+    return pd.DataFrame(rows, columns=cols)
 
 
 def _process_osm(sent: pd.DataFrame, gazetteer, cfg: PipelineConfig,
@@ -322,32 +352,48 @@ def _extra_house_number(df: pd.DataFrame, parser) -> pd.DataFrame:
 
 
 def _finalize(df: pd.DataFrame, extra_cols: list[str]) -> pd.DataFrame:
-    """Project to the fixed result schema with stable dtypes."""
-    out = pd.DataFrame(index=df.index)
+    """Project to the fixed result schema with stable dtypes.
+
+    Built as a dict of typed numpy arrays then ONE DataFrame
+    construction: the previous column-by-column insert ran three full
+    passes per string column (astype(object) + where + fillna/astype)
+    plus block-manager consolidation per insert — pure memory traffic,
+    which is what caps multi-worker scaling on a shared socket."""
+    n = len(df)
+    data: dict = {}
     for col, default in RESULT_COLUMNS.items():
         if col in df.columns:
             v = df[col]
             if col in _FLOAT_COLS:
-                out[col] = pd.to_numeric(v, errors="coerce").astype(np.float64)
+                data[col] = pd.to_numeric(v, errors="coerce").to_numpy(
+                    dtype=np.float64, na_value=np.nan)
             elif col in _INT_COLS:
-                out[col] = pd.to_numeric(v, errors="coerce").fillna(-1).astype(np.int64)
+                data[col] = pd.to_numeric(v, errors="coerce").to_numpy(
+                    dtype=np.float64, na_value=-1.0).astype(np.int64)
             elif col in _BOOL_COLS:
-                out[col] = v.astype(object).apply(lambda x: bool(x) if x == x and x is not None else False).astype(bool)
+                a = v.to_numpy(dtype=object, na_value=False)
+                data[col] = np.fromiter((bool(x) for x in a), dtype=bool,
+                                        count=n)
             else:
-                out[col] = v.astype(object).where(pd.notnull(v), None)
-                out[col] = out[col].fillna("").astype(str)
+                a = v.to_numpy(dtype=object, na_value="")
+                if not all(type(x) is str for x in a):
+                    a = np.array([x if type(x) is str
+                                  else ("" if x is None else str(x))
+                                  for x in a], dtype=object)
+                data[col] = a
         else:
             if col in _FLOAT_COLS:
-                out[col] = np.float64(default)
+                data[col] = np.full(n, np.float64(default))
             elif col in _INT_COLS:
-                out[col] = np.int64(default)
+                data[col] = np.full(n, np.int64(default))
             elif col in _BOOL_COLS:
-                out[col] = bool(default)
+                data[col] = np.full(n, bool(default))
             else:
-                out[col] = str(default)
+                data[col] = np.full(n, str(default), dtype=object)
     for col in extra_cols:
-        out[col] = df[col] if col in df.columns else None
-    return out
+        data[col] = (df[col].to_numpy() if col in df.columns
+                     else np.full(n, None, dtype=object))
+    return pd.DataFrame(data, index=df.index)
 
 
 def process_addresses_df(df: pd.DataFrame, gazetteer, parser,

@@ -142,6 +142,9 @@ class PipelineConfig:
     with_cleansed_number_on_26: bool = True  # config.py:28
     use_osm_parent: bool = True          # config.py:30
     with_extra_house_number: bool = True
+    with_candidate_json: bool = False  # long-mode full-fidelity tail:
+                                       # raw shaped candidate as JSON
+                                       # (SURVEY §1.4 candidate_json)
     with_rejected: bool = True     # REST default is false for batch
                                    # (nominatimwrapper withRejected);
                                    # True keeps full reject rows

@@ -212,7 +212,7 @@ _NAMESPACES = {
     "metadata": ["m_method", "m_transformed_address", "m_osm_order",
                  "m_place_rank", "m_place_id", "m_reject_reason",
                  "m_distance_to_match",
-                 "m_match_on_cleansed_house_number"],
+                 "m_match_on_cleansed_house_number", "candidate_json"],
     "output": ["o_street_name", "o_house_number", "o_post_code",
                "o_post_name", "o_country_name", "o_other",
                "o_display_name", "o_lat", "o_lon", "o_in_house_number",

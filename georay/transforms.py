@@ -90,13 +90,23 @@ def libpostal_transformer(df: pd.DataFrame, parser, check_results: bool,
             + out[CITY].fillna("").astype(str) + ",  "
             + out[COUNTRY].fillna("").astype(str))
 
-    @lru_cache(maxsize=1 << 14)
+    # worker-level memo (an lru_cache defined inside this function would
+    # be rebuilt — and thus empty — on every batch)
+    memo = getattr(parser, "_lp_memo", None)
+    if memo is None:
+        memo = parser._lp_memo = {}
+
     def _parse(s: str) -> tuple:
-        d = {}
-        for value, label in parser.parse(s):
-            d[label] = value          # last wins
-        return (d.get("road"), d.get("house_number"), d.get("postcode"),
-                d.get("city"), d.get("country"))
+        hit = memo.get(s)
+        if hit is None:
+            d = {}
+            for value, label in parser.parse(s):
+                d[label] = value          # last wins
+            hit = (d.get("road"), d.get("house_number"), d.get("postcode"),
+                   d.get("city"), d.get("country"))
+            if len(memo) < (1 << 17):
+                memo[s] = hit
+        return hit
 
     parsed = np.array([_parse(s) for s in full], dtype=object)
     for i, col in enumerate(["lp_road", "lp_house_number", "lp_postcode",
@@ -129,14 +139,26 @@ def photon_transformer(df: pd.DataFrame, gazetteer, check_results: bool,
                        + addr[CITY].fillna("").astype(str) + ", "
                        + addr[COUNTRY].fillna("").astype(str))
     uniq = addr[["ph_full"]].drop_duplicates()
+    # per-worker memo of the fuzzy feature rows: the query string set is
+    # Zipf-skewed across batches, so steady-state photon cost is a dict
+    # hit per unique address instead of an index probe + feature shaping
+    memo = getattr(gazetteer, "_photon_memo", None)
+    if memo is None:
+        memo = gazetteer._photon_memo = {}
     rows = []
     for q in uniq["ph_full"]:
-        feats = gazetteer.fuzzy(q).get("features", [])
-        for order, f in enumerate(feats):
-            p = f.get("properties", {})
-            street = p.get("street") or p.get("name") or ""
-            rows.append((q, street, p.get("postcode", ""), p.get("city", ""),
-                         p.get("country", ""), order))
+        hit = memo.get(q)
+        if hit is None:
+            feats = gazetteer.fuzzy(q).get("features", [])
+            hit = []
+            for order, f in enumerate(feats):
+                p = f.get("properties", {})
+                street = p.get("street") or p.get("name") or ""
+                hit.append((q, street, p.get("postcode", ""),
+                            p.get("city", ""), p.get("country", ""), order))
+            if len(memo) < (1 << 17):
+                memo[q] = hit
+        rows.extend(hit)
     if not rows:
         return pd.DataFrame(columns=[ADDR_KEY] + INPUT_FIELDS)
     feats_df = pd.DataFrame(rows, columns=["ph_full", "ph_street", "ph_pc",

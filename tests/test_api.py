@@ -141,3 +141,17 @@ def test_batch_full_address(street):
     res = batch_geocode([{"addr_key": "b1", "full_address": full}],
                         check_result=False)
     assert len(res["match"]) == 1
+
+
+def test_long_mode_candidate_json(street):
+    import json
+    res = geocode_one(_payload(street), mode="long")
+    m = res["match"][0]
+    raw = json.loads(m["metadata"]["candidateJson"])
+    # full-fidelity tail: the raw geocoder record round-trips
+    assert raw["place_id"] == m["metadata"]["placeId"]
+    assert raw["address"]["postcode"] == street["post_code"]
+    assert "display_name" in raw and "place_rank" in raw
+    # short mode carries no candidate tail
+    short = geocode_one(_payload(street), mode="short")
+    assert "candidateJson" not in short["match"][0].get("metadata", {})
