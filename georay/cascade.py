@@ -294,7 +294,8 @@ def _transform_and_process(chunk: pd.DataFrame, transformers: list[str],
     """One cascade step (utils.py:589-688)."""
     method = "+".join(transformers)
     stats = {"method": method, "todo": int(chunk.shape[0]), "sent": 0,
-             "match": 0, "reject_rec": 0}
+             "match": 0, "match_26": 0, "reject_rec": 0, "reject_addr": 0,
+             "reject_mism": 0}
     empty = pd.DataFrame(columns=[ADDR_KEY])
     if chunk.shape[0] == 0:
         return empty, empty, stats
@@ -318,7 +319,19 @@ def _transform_and_process(chunk: pd.DataFrame, transformers: list[str],
     rejected = rejected.copy()
     rejected[M_METHOD] = method
     stats["match"] = int(results.shape[0])
+    # full reference step-stats parity (utils.py:678-686): cleansed-hn
+    # match count, distinct rejected addresses, distinct mismatches
+    stats["match_26"] = (
+        int(sum(x is True or x == 1 for x in results[M_CLEANSED_HN]
+                if x == x and x is not None))
+        if M_CLEANSED_HN in results.columns else 0)
     stats["reject_rec"] = int(rejected.shape[0])
+    stats["reject_addr"] = (int(rejected[ADDR_KEY].nunique())
+                            if rejected.shape[0] else 0)
+    stats["reject_mism"] = (
+        int(rejected.loc[rejected[M_REJECT_REASON] == "mismatch",
+                         ADDR_KEY].nunique())
+        if rejected.shape[0] and M_REJECT_REASON in rejected.columns else 0)
     return results, rejected, stats
 
 
@@ -428,7 +441,8 @@ def process_addresses_df(df: pd.DataFrame, gazetteer, parser,
             rej = pd.DataFrame(columns=[ADDR_KEY])
             _stats = {"method": "+".join(transformers),
                       "todo": int(chunk.shape[0]), "sent": 0,
-                      "match": int(res.shape[0]), "reject_rec": 0}
+                      "match": int(res.shape[0]), "match_26": 0,
+                      "reject_rec": 0, "reject_addr": 0, "reject_mism": 0}
         if stats_out is not None:
             _stats["step"] = step_idx
             _stats["seconds"] = round(_time.perf_counter() - t0, 6)
@@ -558,8 +572,9 @@ def address_cascade_fn(spec: GazetteerSpec | None = None,
 
 STEP_STATS_SCHEMA = pa.schema([
     ("step", pa.int64()), ("method", pa.string()), ("todo", pa.int64()),
-    ("sent", pa.int64()), ("match", pa.int64()), ("reject_rec", pa.int64()),
-    ("seconds", pa.float64())])
+    ("sent", pa.int64()), ("match", pa.int64()), ("match_26", pa.int64()),
+    ("reject_rec", pa.int64()), ("reject_addr", pa.int64()),
+    ("reject_mism", pa.int64()), ("seconds", pa.float64())])
 
 
 def step_stats_fn(spec: GazetteerSpec | None = None,

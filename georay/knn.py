@@ -176,25 +176,31 @@ def knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k: int = 3,
             rs = g[g["_side"] == "r"]
             if qs.empty or rs.empty:
                 continue
-            scores, ids = score_fn(qs, rs)
-            scores = np.asarray(scores, dtype=np.float64)
-            ids = np.asarray(ids)
-            nq, nr = scores.shape
-            kk = min(k, nr)
-            cand = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
-            row_idx = np.repeat(np.arange(nq), kk)
-            col_idx = cand.ravel()
-            s = scores[row_idx, col_idx]
-            # grouped by query row, then score desc, then neighbor id asc
-            order = np.lexsort((ids[col_idx], -s, row_idx))
             qcols = [c for c in (query_cols if query_cols is not None
                                  else qs.columns)
                      if not str(c).startswith("_")]
-            frame = qs.iloc[row_idx[order]][qcols].reset_index(drop=True)
-            frame["neighbor_id"] = ids[col_idx[order]]
-            frame["score"] = s[order]
-            frame["rank"] = np.tile(np.arange(1, kk + 1), nq)
-            frames.append(frame)
+            # chunk the query side so the (q_chunk × ref) score matrix
+            # stays ~32 MB even in a skewed mega-bucket — full-bucket
+            # matrices go quadratic in memory exactly when skew hits
+            chunk = max(1, 4_000_000 // max(1, len(rs)))
+            for s0 in range(0, len(qs), chunk):
+                qc = qs.iloc[s0:s0 + chunk]
+                scores, ids = score_fn(qc, rs)
+                scores = np.asarray(scores, dtype=np.float64)
+                ids = np.asarray(ids)
+                nq, nr = scores.shape
+                kk = min(k, nr)
+                cand = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                row_idx = np.repeat(np.arange(nq), kk)
+                col_idx = cand.ravel()
+                s = scores[row_idx, col_idx]
+                # grouped by query row, then score desc, then id asc
+                order = np.lexsort((ids[col_idx], -s, row_idx))
+                frame = qc.iloc[row_idx[order]][qcols].reset_index(drop=True)
+                frame["neighbor_id"] = ids[col_idx[order]]
+                frame["score"] = s[order]
+                frame["rank"] = np.tile(np.arange(1, kk + 1), nq)
+                frames.append(frame)
         if not frames:
             qs = df[df["_side"] == "q"].iloc[0:0]
             qcols = [c for c in (query_cols if query_cols is not None

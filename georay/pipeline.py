@@ -183,7 +183,10 @@ def step_stats(ds: "ray.data.Dataset",
             .aggregate(Sum("todo", alias_name="todo"),
                        Sum("sent", alias_name="sent"),
                        Sum("match", alias_name="match"),
+                       Sum("match_26", alias_name="match_26"),
                        Sum("reject_rec", alias_name="reject_rec"),
+                       Sum("reject_addr", alias_name="reject_addr"),
+                       Sum("reject_mism", alias_name="reject_mism"),
                        Sum("seconds", alias_name="seconds")))
 
 

@@ -35,17 +35,6 @@ def main() -> int:
     from georay.knn import knn_join_copartitioned
 
     rng = np.random.default_rng(11)
-    # skew: half of all rows share bucket 0; the rest spread over 63
-    def bucket(i):
-        return 0 if i % 2 == 0 else 1 + (i % 63)
-
-    qdf = pd.DataFrame({"qid": np.arange(n), "x": rng.uniform(0, 100, n),
-                        "bsrc": [bucket(i) for i in range(n)]})
-    rdf = pd.DataFrame({"rid": np.arange(n) + 10 * n,
-                        "x": rng.uniform(0, 100, n),
-                        "bsrc": [bucket(i + 1) for i in range(n)]})
-    queries = ray.data.from_pandas(qdf).repartition(8)
-    refs = ray.data.from_pandas(rdf).repartition(8)
 
     def bucket_fn(df):
         return df["bsrc"]
@@ -55,14 +44,6 @@ def main() -> int:
                    - ref_df["x"].to_numpy()[None, :])
         return 1.0 / (1.0 + d), ref_df["rid"].to_numpy()
 
-    t0 = time.time()
-    out = knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k=3,
-                                 query_cols=["qid"])
-    n_new = out.count()
-    t_new = time.time() - t0
-
-    # naive plan: tag+union then raw groupby(bucket).map_groups with a
-    # per-row python loop (the round-1 shape this rework replaced)
     def tag(side):
         def fn(batch: pa.Table) -> pa.Table:
             df = batch.to_pandas()
@@ -71,11 +52,9 @@ def main() -> int:
             return pa.Table.from_pandas(df, preserve_index=False)
         return fn
 
-    q = queries.map_batches(tag("q"), batch_format="pyarrow")
-    r = refs.map_batches(tag("r"), batch_format="pyarrow")
-    both = q.union(r)
-
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # round-1 shape this rework replaced: per-row python loop inside
+        # a raw groupby().map_groups
         qs = g[g["_side"] == "q"]
         rs = g[g["_side"] == "r"]
         rows = []
@@ -88,15 +67,42 @@ def main() -> int:
                              "score": float(scores[oi]), "rank": rank + 1})
         return pd.DataFrame(rows)
 
-    t0 = time.time()
-    n_old = both.groupby("_bucket").map_groups(
-        per_bucket, batch_format="pandas").count()
-    t_old = time.time() - t0
+    out = {"n": n}
+    scenarios = {
+        # many medium buckets — the common spatial-join layout
+        "uniform": lambda i: i % 4096,
+        # half of all rows share one bucket — hot-key skew
+        "skewed": lambda i: 0 if i % 2 == 0 else 1 + (i % 63),
+    }
+    for name, bucket in scenarios.items():
+        qdf = pd.DataFrame({"qid": np.arange(n),
+                            "x": rng.uniform(0, 100, n),
+                            "bsrc": [bucket(i) for i in range(n)]})
+        rdf = pd.DataFrame({"rid": np.arange(n) + 10 * n,
+                            "x": rng.uniform(0, 100, n),
+                            "bsrc": [bucket(i + 1) for i in range(n)]})
+        queries = ray.data.from_pandas(qdf).repartition(8)
+        refs = ray.data.from_pandas(rdf).repartition(8)
 
-    print(json.dumps({"n": n, "rows_new": int(n_new), "rows_old": int(n_old),
-                      "vectorized_grouped_map_sec": round(t_new, 2),
-                      "iterrows_map_groups_sec": round(t_old, 2),
-                      "speedup": round(t_old / max(t_new, 1e-9), 2)}))
+        t0 = time.time()
+        res = knn_join_copartitioned(queries, refs, bucket_fn, score_fn,
+                                     k=3, query_cols=["qid"])
+        n_new = res.count()
+        t_new = time.time() - t0
+
+        q = queries.map_batches(tag("q"), batch_format="pyarrow")
+        r = refs.map_batches(tag("r"), batch_format="pyarrow")
+        t0 = time.time()
+        n_old = q.union(r).groupby("_bucket").map_groups(
+            per_bucket, batch_format="pandas").count()
+        t_old = time.time() - t0
+        assert n_new == n_old, (n_new, n_old)
+        out[name] = {"rows": int(n_new),
+                     "vectorized_grouped_map_sec": round(t_new, 2),
+                     "iterrows_map_groups_sec": round(t_old, 2),
+                     "speedup": round(t_old / max(t_new, 1e-9), 2)}
+
+    print(json.dumps(out))
     ray.shutdown()
     return 0
 

@@ -44,8 +44,12 @@ def test_stats_out_reconciles():
         assert cur["todo"] == prev["todo"] - prev["match"]
     for s in stats:
         assert s["seconds"] >= 0.0
+        # full reference parity (utils.py:678-686)
         assert set(s) >= {"step", "method", "todo", "sent", "match",
-                          "reject_rec", "seconds"}
+                          "match_26", "reject_rec", "reject_addr",
+                          "reject_mism", "seconds"}
+        assert s["reject_addr"] <= s["reject_rec"]
+        assert s["reject_mism"] <= s["reject_addr"]
 
 
 def test_step_stats_dataset_rollup(ray_session):
@@ -54,7 +58,8 @@ def test_step_stats_dataset_rollup(ray_session):
     ds = ray.data.from_pandas(df).repartition(2)
     stats = step_stats(ds, spec=SPEC).to_pandas()
     assert set(stats.columns) == {"step", "method", "todo", "sent", "match",
-                                  "reject_rec", "seconds"}
+                                  "match_26", "reject_rec", "reject_addr",
+                                  "reject_mism", "seconds"}
     first = stats[stats["step"] == 0].iloc[0]
     assert first["method"] == "orig"
     assert int(first["todo"]) == len(df)
