@@ -125,17 +125,35 @@ def run_bench() -> dict:
     t0 = time.time()
     # address spans: mostly-unique strings with genuine near-dups (the
     # same street in many documents) — template prose would make every
-    # LSH bucket a mass-duplicate group and the pair set quadratic
-    spans = (ray.data.read_parquet(corpus_dir)
+    # LSH bucket a mass-duplicate group and the pair set quadratic.
+    # Deterministic ~30k-row subset via a key-hash filter: .limit()
+    # takes whichever blocks arrive first, which varies run to run and
+    # made pair counts incomparable across runs.
+    target = 30000
+    # ~2 address spans per doc -> need ~target/2 docs.  Prune AT THE
+    # READ: take a deterministic stride of corpus files (sorted names)
+    # instead of .limit(), which truncated by arrival order (pair counts
+    # varied run to run) — only the sampled shards leave storage.
+    files = sorted(f for f in os.listdir(corpus_dir)
+                   if f.endswith(".parquet"))
+    docs_per_file = max(1, n_docs // max(1, len(files)))
+    n_need = max(1, (target // 2) // docs_per_file)
+    stride = max(1, len(files) // n_need)
+    paths = [os.path.join(corpus_dir, f)
+             for f in files[::stride]][:n_need]
+
+    def addr_spans(b: pa.Table) -> pa.Table:
+        b = b.filter(b["is_address"]).select(["addr_key", "text"])
+        return b.rename_columns(["doc_id", "text"])
+
+    spans = (ray.data.read_parquet(paths)
              .map_batches(explode_spans, batch_format="pyarrow")
-             .map_batches(lambda b: b.filter(b["is_address"]).select(
-                 ["addr_key", "text"]).rename_columns(["doc_id", "text"]),
-                 batch_format="pyarrow")
-             .limit(30000))
+             .map_batches(addr_spans, batch_format="pyarrow"))
     pairs = minhash_lsh_pairs(spans, threshold=0.8)
     n_pairs = pairs.count()
     t_dedup = time.time() - t0
     queries["minhash_dedup"] = round(t_dedup, 3)
+    n_spans = spans.count()  # outside the timed region
 
     # -- ANN: brute cosine top-k over synthetic embeddings -------------
     n_vec = int(os.environ.get("GEORAY_BENCH_VECS", "200000"))
@@ -176,7 +194,7 @@ def run_bench() -> dict:
         "n_docs": n_docs,
         "n_matches": n_match,
         "docs_per_sec": round(n_docs / t_geo, 1),
-        "minhash_rows": 30000,
+        "minhash_rows": int(n_spans),
         "minhash_pairs": int(n_pairs),
         "ann_vectors": n_vec,
         "ann_results": int(n_ann),

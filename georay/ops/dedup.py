@@ -150,41 +150,67 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
     remain connected through the hub, at the cost of not enumerating
     every intra-group pair (explicit cap, not a silent one)."""
     rows_per_band = k // bands
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
+        """One output row per (doc, band): vectorized int64 band key (a
+        multiplicative mix of the band's signature chunk — no per-row
+        md5; a 64-bit collision merely merges two buckets, and the exact
+        in-group verify keeps the pair set correct) + the signature as a
+        512-byte binary (k little-endian uint64) — far cheaper through
+        the shuffle and the pandas boundary than list<int64>."""
         hasher = get_minhasher(k=k, shingle_n=shingle_n)
-        ids, bkt, sig_out = [], [], []
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            sig = hasher.signature(t)
-            sig_l = sig.astype("int64")
-            for b in range(bands):
-                chunk = sig_l[b * rows_per_band:(b + 1) * rows_per_band]
-                h = hashlib.md5(
-                    b.to_bytes(2, "little") + chunk.tobytes()).hexdigest()[:16]
-                ids.append(batch[id_col][i].as_py())
-                bkt.append(h)
-                sig_out.append(sig_l.tolist())
-        return pa.table({id_col: pa.array(ids),
-                         "bucket": pa.array(bkt, pa.string()),
-                         "minhash": pa.array(sig_out, pa.list_(pa.int64()))})
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        sig = np.empty((n, k), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sig[i] = hasher.signature(t)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        bkts = np.empty(n * bands, dtype=np.uint64)
+        for b in range(bands):
+            h = np.full(n, np.uint64(b + 1) * _MIX, dtype=np.uint64)
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band):
+                h = (h ^ sig[:, j]) * _MIX
+            bkts[b * n:(b + 1) * n] = h
+        sig_bytes = [s.tobytes() for s in sig]
+        return pa.table({id_col: pa.array(np.tile(ids_np, bands)),
+                         "bucket": pa.array(bkts.astype(np.int64)),
+                         "minhash": pa.array(sig_bytes * bands,
+                                             pa.binary())})
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
     def per_partition(df: pd.DataFrame) -> pa.Table:
+        """Contiguous-slice group scan instead of pandas groupby: with
+        hundreds of thousands of tiny buckets the per-group pandas
+        overhead (sort_values + tolist per bucket) dominated by 10×."""
+        ids_all = df[id_col].to_numpy()
+        bkt = df["bucket"].to_numpy()
+        mh = df["minhash"].to_numpy()
+        order = np.lexsort((ids_all, bkt))
+        ids_all, bkt, mh = ids_all[order], bkt[order], mh[order]
+        dup = np.r_[False, (bkt[1:] == bkt[:-1])
+                    & (ids_all[1:] == ids_all[:-1])]
+        if dup.any():
+            keep = ~dup
+            ids_all, bkt, mh = ids_all[keep], bkt[keep], mh[keep]
+        starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+        ends = np.r_[starts[1:], len(bkt)]
+        sizes = ends - starts
         out = []
-        for _, g in df.groupby("bucket", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-            sigs = np.array(g["minhash"].tolist())
-            ids = g[id_col].tolist()
-            if len(ids) > max_bucket:   # hub-and-spoke for mega-buckets
+        for gi in np.flatnonzero(sizes >= 2):
+            s, e = int(starts[gi]), int(ends[gi])
+            m = e - s
+            sigs = np.frombuffer(b"".join(mh[s:e]),
+                                 dtype=np.uint64).reshape(m, k)
+            ids = ids_all[s:e]
+            if m > max_bucket:   # hub-and-spoke for mega-buckets
                 hub = sigs[0]
                 est = (sigs[1:] == hub[None, :]).mean(axis=1)
                 for off in np.flatnonzero(est >= threshold):
                     out.append((ids[0], ids[1 + off], float(est[off])))
             else:
-                for i in range(len(ids)):
+                for i in range(m):
                     sim = (sigs[i + 1:] == sigs[i][None, :]).mean(axis=1)
                     for off in np.flatnonzero(sim >= threshold):
                         out.append((ids[i], ids[i + 1 + off],
