@@ -169,9 +169,12 @@ def run_bench() -> dict:
             out.append(v)
             ids.extend(range(base, base + block))
         m = np.vstack(out)
+        # list<float32> from the flat buffer — no per-row python lists
+        offsets = pa.array(np.arange(0, (len(ids) + 1) * 64, 64,
+                                     dtype=np.int32))
+        emb = pa.ListArray.from_arrays(offsets, pa.array(m.ravel()))
         return pa.table({"vec_id": pa.array(ids, pa.int64()),
-                         "embedding": pa.array(m.tolist(),
-                                               pa.list_(pa.float32()))})
+                         "embedding": emb})
 
     t0 = time.time()
     vecs = (ray.data.range(n_vec // 2000, override_num_blocks=max(8, num_cpus))

@@ -242,6 +242,15 @@ def simhash64(text: str) -> np.uint64:
     return out
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (bitwise Hamming weight)."""
+    if not len(x):
+        return np.zeros(0, dtype=np.int64)
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                         axis=1).sum(axis=1).astype(np.int64)
+
+
 def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
                   id_col: str = "doc_id", text_col: str = "text",
                   max_bucket: int = 512) -> "ray.data.Dataset":
@@ -249,30 +258,45 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
     the 4 16-bit chunks (pigeonhole guarantee for <=3 bit flips).
     Mega-buckets fall back to hub-and-spoke (see minhash_lsh_pairs)."""
     def to_buckets(batch: pa.Table) -> pa.Table:
-        ids, bkt, sh = [], [], []
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            s = int(simhash64(t))
-            for c in range(4):
-                chunk = (s >> (16 * c)) & 0xFFFF
-                ids.append(batch[id_col][i].as_py())
-                bkt.append(f"{c}:{chunk}")
-                sh.append(np.int64(np.uint64(s).astype(np.int64)))
-        return pa.table({id_col: pa.array(ids),
-                         "bucket": pa.array(bkt, pa.string()),
-                         "simhash": pa.array(sh, pa.int64())})
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        s = np.fromiter((int(simhash64(t)) for t in texts),
+                        dtype=np.uint64, count=n)
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        bkts = np.empty(4 * n, dtype=np.int64)
+        for c in range(4):   # int64 bucket key: chunk value | chunk id
+            bkts[c * n:(c + 1) * n] = (
+                ((s >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+                .astype(np.int64) | np.int64(c << 16))
+        return pa.table({id_col: pa.array(np.tile(ids_np, 4)),
+                         "bucket": pa.array(bkts),
+                         "simhash": pa.array(
+                             np.tile(s.astype(np.int64), 4))})
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
     def per_partition(df: pd.DataFrame) -> pa.Table:
+        ids_all = df[id_col].to_numpy()
+        bkt = df["bucket"].to_numpy()
+        vals = df["simhash"].to_numpy()
+        order = np.lexsort((ids_all, bkt))
+        ids_all, bkt, vals = ids_all[order], bkt[order], vals[order]
+        dup = np.r_[False, (bkt[1:] == bkt[:-1])
+                    & (ids_all[1:] == ids_all[:-1])]
+        if dup.any():
+            keep = ~dup
+            ids_all, bkt, vals = ids_all[keep], bkt[keep], vals[keep]
+        starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+        ends = np.r_[starts[1:], len(bkt)]
         out = []
-        for _, g in df.groupby("bucket", sort=False):
-            g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-            vals = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-            ids = g[id_col].tolist()
-            upper = 1 if len(ids) > max_bucket else len(ids)
+        for gi in np.flatnonzero((ends - starts) >= 2):
+            s, e = int(starts[gi]), int(ends[gi])
+            v = vals[s:e].astype(np.uint64)
+            ids = ids_all[s:e]
+            m = e - s
+            upper = 1 if m > max_bucket else m
             for i in range(upper):
-                x = vals[i] ^ vals[i + 1:]
-                ham = np.array([bin(int(v)).count("1") for v in x])
+                ham = _popcount64(v[i] ^ v[i + 1:])
                 for off in np.flatnonzero(ham <= max_hamming):
                     out.append((ids[i], ids[i + 1 + off], int(ham[off])))
         return _pairs_table(out, _id_type(df[id_col]), "hamming", pa.int64())
@@ -290,36 +314,57 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
     """EXACT n-gram Jaccard >= threshold pairs; candidates from MinHash-LSH
     buckets (recall limited by LSH — documented), verified by exact
     shingle-set Jaccard inside the group."""
+    rows_per_band = k // bands
+    _MIX = np.uint64(0x9E3779B97F4A7C15)
+
     def to_buckets(batch: pa.Table) -> pa.Table:
         hasher = get_minhasher(k=k, shingle_n=shingle_n)
-        rows_per_band = k // bands
-        ids, bkt, sh = [], [], []
-        for i, t in enumerate(batch[text_col].to_pylist()):
-            sig = hasher.signature(t).astype("int64")
-            shingles = sorted(set(_shingle_hashes(t, shingle_n).tolist()))
-            for b in range(bands):
-                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                h = hashlib.md5(
-                    b.to_bytes(2, "little") + chunk.tobytes()).hexdigest()[:16]
-                ids.append(batch[id_col][i].as_py())
-                bkt.append(h)
-                sh.append(shingles)
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        sig = np.empty((n, k), dtype=np.uint64)
+        shingles = []
+        for i, t in enumerate(texts):
+            sig[i] = hasher.signature(t)
+            shingles.append(sorted(set(_shingle_hashes(t,
+                                                       shingle_n).tolist())))
+        ids_np = batch[id_col].to_numpy(zero_copy_only=False)
+        bkts = np.empty(n * bands, dtype=np.uint64)
+        for b in range(bands):   # vectorized band keys (see minhash)
+            h = np.full(n, np.uint64(b + 1) * _MIX, dtype=np.uint64)
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band):
+                h = (h ^ sig[:, j]) * _MIX
+            bkts[b * n:(b + 1) * n] = h
         # uint64: md5-based shingle hashes use the full 64-bit range
-        return pa.table({id_col: pa.array(ids),
-                         "bucket": pa.array(bkt, pa.string()),
-                         "shingles": pa.array(sh, pa.list_(pa.uint64()))})
+        return pa.table({id_col: pa.array(np.tile(ids_np, bands)),
+                         "bucket": pa.array(bkts.astype(np.int64)),
+                         "shingles": pa.array(shingles * bands,
+                                              pa.list_(pa.uint64()))})
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
     def per_partition(df: pd.DataFrame) -> pa.Table:
+        ids_all = df[id_col].to_numpy()
+        bkt = df["bucket"].to_numpy()
+        sh = df["shingles"].to_numpy()
+        order = np.lexsort((ids_all, bkt))
+        ids_all, bkt, sh = ids_all[order], bkt[order], sh[order]
+        dup = np.r_[False, (bkt[1:] == bkt[:-1])
+                    & (ids_all[1:] == ids_all[:-1])]
+        if dup.any():
+            keep = ~dup
+            ids_all, bkt, sh = ids_all[keep], bkt[keep], sh[keep]
+        starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+        ends = np.r_[starts[1:], len(bkt)]
         out = []
-        for _, g in df.groupby("bucket", sort=False):
-            g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-            ids = g[id_col].tolist()
-            sets = [set(s) for s in g["shingles"]]
-            upper = 1 if len(ids) > 256 else len(ids)  # hub-and-spoke guard
+        for gi in np.flatnonzero((ends - starts) >= 2):
+            s, e = int(starts[gi]), int(ends[gi])
+            ids = ids_all[s:e]
+            sets = [set(x.tolist() if hasattr(x, "tolist") else x)
+                    for x in sh[s:e]]
+            m = e - s
+            upper = 1 if m > 256 else m  # hub-and-spoke guard
             for i in range(upper):
-                for j in range(i + 1, len(ids)):
+                for j in range(i + 1, m):
                     inter = len(sets[i] & sets[j])
                     union = len(sets[i] | sets[j])
                     jac = inter / union if union else 0.0
@@ -347,7 +392,8 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     O(n²) in-group cosine matrix — output stays linear in bucket size and
     duplicate groups remain connected through the hub."""
     def to_buckets(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        from .similarity import vec_matrix
+        vecs = vec_matrix(batch, vec_col)
         dim = vecs.shape[1] if vecs.ndim == 2 else 1
         ck = ("planes", dim, n_planes, seed)
         planes = _MINHASHER_CACHE.get(ck)

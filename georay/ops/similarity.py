@@ -26,6 +26,24 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column — zero-copy
+    flatten of the Arrow child buffer instead of to_pylist (which builds
+    n python lists and was the dominant cost of the ANN stages)."""
+    arr = batch[vec_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
+            or pa.types.is_fixed_size_list(arr.type)):
+        flat = arr.flatten().to_numpy(zero_copy_only=False)
+        if flat.size % n == 0:
+            return flat.astype(np.float64, copy=False).reshape(n, -1)
+    return np.array(arr.to_pylist(), dtype=np.float64)  # ragged fallback
+
+
 def topk_cosine_brute(ds: "ray.data.Dataset", queries: np.ndarray,
                       k: int = 5, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> "ray.data.Dataset":
@@ -35,7 +53,7 @@ def topk_cosine_brute(ds: "ray.data.Dataset", queries: np.ndarray,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
 
     def partial(batch: pa.Table) -> pa.Table:
-        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        v = vec_matrix(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         if v.size == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
@@ -99,7 +117,7 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
     probe_sets = [set(p.tolist()) for p in probe]
 
     def partial(batch: pa.Table) -> pa.Table:
-        v = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+        v = vec_matrix(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         out_q, out_id, out_s = [], [], []
         if v.size:
