@@ -125,3 +125,34 @@ def test_checkpoint_resume(ray_session, tmp_path):
     # output readable and partitioned
     ds = ray.data.read_parquet(out_dir + "/part=s0")
     assert ds.count() == man.records()[0]["rows"] or ds.count() > 0
+
+
+def test_run_resumable_crash_idempotent(ray_session, tmp_path):
+    """A shard killed mid-write leaves partial parquet files; resume must
+    not double-count them (checkpoint.py writes to .tmp then renames)."""
+    import os
+
+    import pandas as pd
+
+    import ray.data
+    from georay.checkpoint import run_resumable
+
+    out_dir = str(tmp_path / "run")
+    df = pd.DataFrame({"status": ["match"] * 10, "x": range(10)})
+
+    def build():
+        return ray.data.from_pandas(df).repartition(2)
+
+    # simulate a crash: stale partial files exist but no manifest record
+    part_dir = os.path.join(out_dir, "part=p0")
+    os.makedirs(part_dir, exist_ok=True)
+    ray.data.from_pandas(df.head(4)).write_parquet(part_dir)
+    stale_tmp = part_dir + ".tmp"
+    os.makedirs(stale_tmp, exist_ok=True)
+    ray.data.from_pandas(df.head(2)).write_parquet(stale_tmp)
+
+    man = run_resumable([("p0", build)], out_dir)
+    assert man.records()[0]["rows"] == 10  # not 14 / not 12
+    assert not os.path.exists(stale_tmp)
+    out = ray.data.read_parquet(part_dir)
+    assert out.count() == 10
