@@ -535,6 +535,18 @@ class CascadeGeocoder:
 _PROCESS_COMPONENT_CACHE: dict = {}
 
 
+def _tune_worker_gc() -> None:
+    """Once per worker after heavy state construction: freeze the
+    long-lived gazetteer/parser/memo objects out of the GC scan set and
+    raise the gen-0 threshold — the cascade allocates millions of
+    short-lived objects per batch, and cyclic-GC rescans of the frozen
+    index were measurable overhead at high worker counts."""
+    import gc
+    gc.collect()
+    gc.freeze()
+    gc.set_threshold(100000, 50, 50)
+
+
 def span_cascade_fn(spec: GazetteerSpec | None = None,
                     cfg: PipelineConfig | None = None):
     """Build a picklable stateless-task batch fn running the span cascade
@@ -548,6 +560,7 @@ def span_cascade_fn(spec: GazetteerSpec | None = None,
         if worker is None:
             worker = SpanCascadeGeocoder(spec=spec, cfg=cfg)
             _PROCESS_COMPONENT_CACHE[key] = worker
+            _tune_worker_gc()
         return worker(batch)
 
     return fn
@@ -565,6 +578,7 @@ def address_cascade_fn(spec: GazetteerSpec | None = None,
         if worker is None:
             worker = CascadeGeocoder(spec=spec, cfg=cfg)
             _PROCESS_COMPONENT_CACHE[key] = worker
+            _tune_worker_gc()
         return worker(batch)
 
     return fn

@@ -73,6 +73,8 @@ def annotator_fn(spec=None, hex_res: int = 9, quad_level: int = 18,
                                    quad_level=quad_level,
                                    with_tiles=with_tiles, with_knn=with_knn)
             _PROCESS_COMPONENT_CACHE[key] = worker
+            from .cascade import _tune_worker_gc
+            _tune_worker_gc()
         return worker(batch)
 
     return fn
