@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_groupby_agg": e.q_rel_groupby_agg,
         "rel_top1_per_key": e.q_rel_top1_per_key,
         "rel_anti_join": e.q_rel_anti_join,
+        "rel_broadcast_join": e.q_rel_broadcast_join,
         "rel_first_event": e.q_rel_first_event,
         "rel_events_daily": e.q_rel_events_daily,
         # document / embedding training-data ops (testdata)

@@ -423,6 +423,44 @@ def q_rel_anti_join(sf_dir: str):
     return pa.Table.from_pandas(pdf[["c_custkey"]], preserve_index=False)
 
 
+def q_rel_broadcast_join(sf_dir: str):
+    """Broadcast hash join + map-side pre-aggregation: the small customer
+    dimension is put into the object store ONCE (``ray.put``) and read by
+    every task (worker-local fetch, cached) — no shuffle of the big
+    orders side; per-batch partial aggregates then one tiny groupby over
+    (segments × blocks) rows.  The canonical small-side join plan at
+    100 TB (broadcast, never re-shipped per batch)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lk = ray.get(lookup_ref)
+        df = batch.to_pandas()
+        seg = df["o_custkey"].map(lk)
+        rev_c = np.floor(df["o_totalprice"].to_numpy() * 100.0
+                         + 0.5).astype(np.int64)
+        g = (pd.DataFrame({"c_mktsegment": seg, "rev_c": rev_c})
+             .dropna(subset=["c_mktsegment"])  # inner-join semantics
+             .groupby("c_mktsegment", sort=False)["rev_c"]
+             .agg(["size", "sum"]).reset_index())
+        return pa.table({
+            "c_mktsegment": pa.array(g["c_mktsegment"], pa.string()),
+            "n": pa.array(g["size"].to_numpy(), pa.int64()),
+            "sum_rev_c": pa.array(g["sum"].to_numpy(), pa.int64())})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (partials.groupby("c_mktsegment")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sum_rev_c", alias_name="sum_rev_c")))
+
+
 def q_rel_first_event(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "event_id", "ts"])
@@ -892,6 +930,12 @@ def build_oracle_sql() -> dict[str, str]:
             select c_custkey from customer
             where not exists (select 1 from orders
                               where o_custkey = c_custkey)""",
+        "rel_broadcast_join": """
+            select c_mktsegment, count(*) as n,
+                   cast(sum(cast(floor(o_totalprice*100+0.5) as bigint))
+                        as bigint) as sum_rev_c
+            from orders join customer on o_custkey = c_custkey
+            group by 1""",
         "rel_first_event": """
             with r as (select user_id, event_id,
                               row_number() over (partition by user_id

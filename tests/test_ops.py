@@ -185,3 +185,48 @@ def test_media_plumbing(ray_session):
     assert (frames["ts_ms"] % 1000 == 0).all()
     with pytest.raises(NotImplementedError):
         MediaFeatureExtractor(real=True)
+
+
+def test_vec_matrix_zero_copy_and_fallback():
+    import pyarrow as pa
+    import numpy as np
+    from georay.ops.similarity import vec_matrix
+
+    m = np.arange(12, dtype=np.float32).reshape(4, 3)
+    offsets = pa.array(np.arange(0, 15, 3, dtype=np.int32))
+    emb = pa.ListArray.from_arrays(offsets, pa.array(m.ravel()))
+    t = pa.table({"embedding": emb})
+    out = vec_matrix(t, "embedding")
+    assert out.shape == (4, 3) and out.dtype == np.float64
+    assert np.allclose(out, m)
+    # chunked column path (combine_chunks) round-trips too
+    t2 = pa.concat_tables([t, t])
+    out2 = vec_matrix(t2, "embedding")
+    assert out2.shape == (8, 3)
+    assert np.allclose(out2[4:], m)
+
+
+def test_grouped_map_schema_stability(ray_session):
+    """Empty fn outputs keep typed schemas (no null-typed blocks)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from georay.shuffle import grouped_map
+
+    ds = ray.data.from_items(
+        [{"k": "a" if i % 2 else "b", "v": i} for i in range(40)]
+    ).repartition(4)
+
+    out_schema = pa.schema([("k", pa.string()), ("n", pa.int64())])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # emit nothing for half the partitions
+        if (df["v"] % 2 == 0).all():
+            return df.iloc[0:0][["k"]].assign(n=pd.Series(dtype="int64"))
+        return (df.groupby("k", sort=False)["v"].size()
+                .rename("n").reset_index())
+
+    res = grouped_map(ds, "k", fn, num_partitions=8, group_fn=False,
+                      out_schema=out_schema).to_pandas()
+    assert list(res.columns) == ["k", "n"]
+    assert res["n"].sum() == 20  # only the odd-v rows counted
