@@ -126,3 +126,55 @@ def test_keep_bests_postcode_city_rescue():
         city_col_a="city", street_col_b="in_s", housenbr_col_b="in_hn",
         postcode_col_b="in_pc", city_col_b="in_city", secondary_sort_col="ord")
     assert len(keep) == 1 and len(reject) == 0
+
+
+# ---------------------------------------------------------------------------
+# property tests (SURVEY §5(d)): range, symmetry of the comparator kernel
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_text = st.text(alphabet="abcdefghij AÉè-,'0123456789", max_size=24)
+_hn = st.text(alphabet="0123456789abAB -/", max_size=8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text, _text)
+def test_street_similarity_range_and_symmetry(a, b):
+    s = street_similarity(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == street_similarity(b, a)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text, _text)
+def test_city_similarity_range_and_symmetry(a, b):
+    s = city_similarity(a, b)
+    assert 0.0 <= s <= 1.0
+    assert s == city_similarity(b, a)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_hn, _hn)
+def test_house_number_similarity_range_and_symmetry(a, b):
+    s = house_number_similarity(a, b)
+    assert s in (0.0, 0.5, 0.8, 1.0)
+    assert s == house_number_similarity(b, a)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_text, _text)
+def test_postcode_similarity_range(a, b):
+    s = postcode_similarity(a, b)
+    assert s in (0.0, 0.1, 0.3, 0.5, 1.0)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_text)
+def test_self_similarity_is_one(a):
+    # any street equals itself (both-empty included — fast path)
+    assert street_similarity(a, a) == 1.0
+    # city: reference levenshtein_similarity returns 0.0 when BOTH are
+    # empty (check_result_utils.py:147-168) — self-sim holds otherwise
+    if a.strip():
+        assert city_similarity(a, a) == 1.0
