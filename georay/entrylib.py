@@ -482,6 +482,38 @@ def q_rel_first_event(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_sessionize(sf_dir: str):
+    """Ordered-window sessionization (30-minute inactivity gap): the
+    stateful per-key windowed aggregate — co-partition by user, sort
+    within partition, vectorized gap/cumsum session assignment.  One
+    hash shuffle; no per-group materialization."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_id", "ts"])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        gap = (df["ts"] - df["ts"].shift()).dt.total_seconds()
+        new_sess = ((df["user_id"] != df["user_id"].shift())
+                    | (gap > 1800.0))
+        sess = new_sess.cumsum()
+        out = (pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "_s": sess.to_numpy()})
+               .groupby(["user_id", "_s"], sort=False)
+               .size().rename("n_events").reset_index())
+        out["session_idx"] = (out.groupby("user_id", sort=False)
+                              .cumcount() + 1)
+        return pa.table({
+            "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+            "session_idx": pa.array(out["session_idx"].to_numpy(),
+                                    pa.int64()),
+            "n_events": pa.array(out["n_events"].to_numpy(), pa.int64())})
+
+    return grouped_map(ds, "user_id", per_partition, num_partitions=16,
+                       group_fn=False)
+
+
 def q_rel_events_daily(sf_dir: str):
     from ray.data.aggregate import Sum
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -942,6 +974,23 @@ def build_oracle_sql() -> dict[str, str]:
                                 order by ts asc, event_id asc) rn
                        from events)
             select user_id, event_id from r where rn = 1""",
+        "rel_sessionize": """
+            with o as (
+                select user_id, ts, event_id,
+                       case when lag(ts) over w is null
+                                 or epoch(ts) - epoch(lag(ts) over w)
+                                    > 1800.0
+                            then 1 else 0 end brk
+                from events
+                window w as (partition by user_id order by ts, event_id)),
+            s as (select user_id,
+                         sum(brk) over (partition by user_id
+                             order by ts, event_id
+                             rows unbounded preceding) sid
+                  from o)
+            select user_id, cast(sid as bigint) as session_idx,
+                   cast(count(*) as bigint) as n_events
+            from s group by 1, 2""",
         "rel_events_daily": """
             select event_type, strftime(ts, '%Y-%m-%d') as day,
                    count(*) as n

@@ -156,3 +156,30 @@ def test_run_resumable_crash_idempotent(ray_session, tmp_path):
     assert not os.path.exists(stale_tmp)
     out = ray.data.read_parquet(part_dir)
     assert out.count() == 10
+
+
+def test_sessionize_gap_boundary(ray_session, tmp_path):
+    """30-min rule is strict (> 1800 s): exactly 1800 stays in-session."""
+    import pandas as pd
+
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    from georay.entrylib import q_rel_sessionize
+
+    base = pd.Timestamp("2025-01-01 00:00:00")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2],
+        "event_id": [1, 2, 3, 4],
+        "ts": [base, base + pd.Timedelta(seconds=1800),       # same session
+               base + pd.Timedelta(seconds=1800 + 1801),      # new session
+               base],
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(sf / "events.parquet"))
+    out = q_rel_sessionize(str(sf)).to_pandas().sort_values(
+        ["user_id", "session_idx"]).reset_index(drop=True)
+    assert out.to_dict("list") == {
+        "user_id": [1, 1, 2], "session_idx": [1, 2, 1],
+        "n_events": [2, 1, 1]}
