@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_broadcast_join": e.q_rel_broadcast_join,
         "rel_first_event": e.q_rel_first_event,
         "rel_sessionize": e.q_rel_sessionize,
+        "rel_asof_join": e.q_rel_asof_join,
         "rel_events_daily": e.q_rel_events_daily,
         # document / embedding training-data ops (testdata)
         "doc_dedup_exact": e.q_doc_dedup_exact,

@@ -482,6 +482,58 @@ def q_rel_first_event(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_asof_join(sf_dir: str):
+    """As-of join (each event matched to the user's latest order at or
+    before the event time): tag + union the two streams, ONE hash
+    shuffle on the user key, then a vectorized ``merge_asof`` per
+    partition — the backward-looking temporal join Ray Data lacks
+    natively.  Deterministic tie-break: max order date, then max order
+    key.  Partitioning assumption (documented): all rows of a user land
+    in one partition."""
+    from .shuffle import grouped_map
+
+    def tag(side: int, key_col: str, ts_col: str, val_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": batch[key_col].cast(pa.int64()),
+                "ts": batch[ts_col],
+                "k": batch[val_col].cast(pa.int64()),
+                "_side": pa.array(
+                    np.full(len(batch), side, dtype=np.int8))})
+        return fn
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts"]).map_batches(
+        tag(0, "user_id", "ts", "event_id"), batch_format="pyarrow")
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate"]).map_batches(
+        tag(1, "o_custkey", "o_orderdate", "o_orderkey"),
+        batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        ev_df = (df.loc[df["_side"] == 0, ["user_id", "ts", "k"]]
+                 .rename(columns={"k": "event_id"})
+                 .sort_values("ts", kind="mergesort"))
+        od_df = (df.loc[df["_side"] == 1, ["user_id", "ts", "k"]]
+                 .rename(columns={"k": "o_orderkey"})
+                 .sort_values(["ts", "o_orderkey"], kind="mergesort"))
+        if ev_df.empty or od_df.empty:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "asof_orderkey": pa.array([], pa.int64())})
+        m = pd.merge_asof(ev_df, od_df, on="ts", by="user_id",
+                          direction="backward")
+        m = m[m["o_orderkey"].notna()]
+        return pa.table({
+            "event_id": pa.array(m["event_id"].to_numpy(np.int64)),
+            "asof_orderkey": pa.array(
+                m["o_orderkey"].to_numpy(np.float64).astype(np.int64))})
+
+    return grouped_map(ev.union(od), "user_id", per_partition,
+                       num_partitions=16, group_fn=False)
+
+
 def q_rel_sessionize(sf_dir: str):
     """Ordered-window sessionization (30-minute inactivity gap): the
     stateful per-key windowed aggregate — co-partition by user, sort
@@ -974,6 +1026,16 @@ def build_oracle_sql() -> dict[str, str]:
                                 order by ts asc, event_id asc) rn
                        from events)
             select user_id, event_id from r where rn = 1""",
+        "rel_asof_join": """
+            with j as (
+                select e.event_id, o.o_orderkey,
+                       row_number() over (partition by e.event_id
+                           order by o.o_orderdate desc, o.o_orderkey desc)
+                       rn
+                from events e join orders o
+                  on o.o_custkey = e.user_id and o.o_orderdate <= e.ts)
+            select event_id, o_orderkey as asof_orderkey
+            from j where rn = 1""",
         "rel_sessionize": """
             with o as (
                 select user_id, ts, event_id,
