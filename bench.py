@@ -36,9 +36,47 @@ def _bench_docs(sf_name: str) -> int:
     return {"sf0.001": 2000, "sf0.01": 12000, "sf0.1": 240000}.get(sf_name, 240000)
 
 
+def _quiet_ray_data_logging() -> None:
+    """Ray Data re-applies its logging dictConfig (console handler at
+    INFO) on EVERY dataset execution, overriding any logger level set by
+    the caller — point RAY_DATA_LOGGING_CONFIG at a copy with the
+    console handler at ERROR so the bench emits exactly one JSON line
+    (file logging stays intact for debugging)."""
+    import yaml
+    cfg = {
+        "version": 1,
+        "disable_existing_loggers": False,
+        "formatters": {
+            "ray": {"format":
+                    "%(asctime)s\t%(levelname)s %(filename)s:%(lineno)s -- "
+                    "%(message)s"}},
+        "filters": {"console_filter": {
+            "()": "ray.data._internal.logging.HiddenRecordFilter"}},
+        "handlers": {
+            "file": {"class":
+                     "ray.data._internal.logging.SessionFileHandler",
+                     "formatter": "ray", "filename": "ray-data.log"},
+            "console": {"class": "ray._private.log.PlainRayHandler",
+                        "formatter": "ray", "level": "ERROR",
+                        "filters": ["console_filter"]}},
+        "loggers": {
+            "ray.data": {"level": "DEBUG",
+                         "handlers": ["file", "console"],
+                         "propagate": False},
+            "ray.air.util.tensor_extensions": {
+                "level": "DEBUG", "handlers": ["file", "console"],
+                "propagate": False}},
+    }
+    path = "/tmp/georay_ray_data_logging.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", path)
+
+
 def run_bench() -> dict:
     import logging
 
+    _quiet_ray_data_logging()
     import ray
     num_cpus = _num_cpus()
     # log_to_driver=False: Ray's shuffle machinery forwards zero-column
