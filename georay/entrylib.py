@@ -254,12 +254,22 @@ def q_geo_documents_pipeline(sf_dir: str):
 
 
 def q_geo_method_stats(sf_dir: str):
+    """Match-method distribution.  The matched (addr_key, m_method) rows
+    are snapshotted to parquet so the DuckDB oracle can verify the
+    distributed rollup path against a SQL group-by over the same rows
+    (the cascade itself is covered by the span-conservation/singleton
+    invariants and the pytest golden runs)."""
+    import shutil
+
     from .tiles import rollup_counts
     out = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
     match = out.map_batches(
         lambda b: b.filter(pa.compute.equal(b["status"], "match")),
-        batch_format="pyarrow")
-    return rollup_counts(match, "m_method")
+        batch_format="pyarrow").select_columns(["addr_key", "m_method"])
+    snap = os.path.join(synth_dir(sf_dir), "method_stats_input")
+    shutil.rmtree(snap, ignore_errors=True)
+    match.write_parquet(snap)
+    return rollup_counts(ray.data.read_parquet(snap), "m_method")
 
 
 def q_geo_hex_assign(sf_dir: str):
@@ -943,6 +953,10 @@ def build_oracle_sql() -> dict[str, str]:
         "geo_match_singleton": """
             select cast(null as varchar) as addr_key,
                    cast(null as bigint) as n where 1 = 0""",
+        "geo_method_stats": f"""
+            select m_method, count(*) as n
+            from read_parquet('{s01}/method_stats_input/*.parquet')
+            group by 1""",
         "geo_hex_assign": _hex_sql(gaz),
         "geo_hex_rollup": f"""
             with h as ({_hex_sql(gaz)})
