@@ -173,9 +173,12 @@ def _trigrams(s: str) -> set[str]:
     return {s[i:i + 3] for i in range(len(s) - 2)}
 
 
+@lru_cache(maxsize=1 << 17)
 def parse_free_text(q: str) -> dict[str, str]:
     """Heuristic free-text split into address components; the engine sends
-    'street, housenbr, postcode city, country' (utils.py:639-646)."""
+    'street, housenbr, postcode city, country' (utils.py:639-646).
+    Memoized (pure; span texts are Zipf-skewed) — callers must not
+    mutate the returned dict (all engine callers only read)."""
     street = hn = pc = city = country = ""
     for seg in [s.strip() for s in (q or "").split(",") if s.strip()]:
         m = _PC_RE.match(seg)
