@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_span_roundtrip": e.q_geo_span_roundtrip,
         "geo_span_conservation": e.q_geo_span_conservation,
         "geo_match_singleton": e.q_geo_match_singleton,
+        "geo_addr_conservation": e.q_geo_addr_conservation,
         "geo_exact_match": e.q_geo_exact_match,
         "geo_tile_assign": e.q_geo_tile_assign,
         "geo_tile_rollup": e.q_geo_tile_rollup,

@@ -307,6 +307,28 @@ def q_geo_span_conservation(sf_dir: str):
     return rollup_counts(uniq, "doc_id")
 
 
+def q_geo_addr_conservation(sf_dir: str):
+    """Flat-batch invariant with a hard oracle: every input address
+    reaches EXACTLY ONE terminal state (one match row XOR one unmatched
+    stub) — per-addr_key terminal-row count must equal 1 for every row
+    of the raw addresses parquet."""
+    import pyarrow.compute as pc
+
+    from .pipeline import geocode_addresses
+    from .tiles import rollup_counts
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "addresses.parquet"),
+        columns=[ADDR_KEY, STREET, HOUSENBR, POSTCODE, CITY, COUNTRY])
+    out = geocode_addresses(ds, spec=spec_for(sf_dir), with_tiles=False)
+    terminal = out.map_batches(
+        lambda b: b.filter(pc.is_in(b["status"],
+                                    value_set=pa.array(
+                                        ["match", "unmatched"]))),
+        batch_format="pyarrow")
+    return rollup_counts(terminal, ADDR_KEY)
+
+
 def q_geo_match_singleton(sf_dir: str):
     """Pipeline invariant: at most one match row per addr_key — the
     query emits violators, the oracle is the typed empty set."""
@@ -950,6 +972,8 @@ def build_oracle_sql() -> dict[str, str]:
         "geo_span_roundtrip": span_unnest,
         "geo_span_conservation": f"""
             select doc_id, cast(len(spans) as bigint) as n from {docs}""",
+        "geo_addr_conservation": f"""
+            select addr_key, cast(1 as bigint) as n from {addrs}""",
         "geo_match_singleton": """
             select cast(null as varchar) as addr_key,
                    cast(null as bigint) as n where 1 = 0""",
