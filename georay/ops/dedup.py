@@ -410,16 +410,26 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
 
     def per_partition(df: pd.DataFrame) -> pa.Table:
+        ids_all = df[id_col].to_numpy()
+        bkt = df["bucket"].to_numpy()
+        vecs = df[vec_col].to_numpy()
+        order = np.lexsort((ids_all, bkt))
+        ids_all, bkt, vecs = ids_all[order], bkt[order], vecs[order]
+        dup = np.r_[False, (bkt[1:] == bkt[:-1])
+                    & (ids_all[1:] == ids_all[:-1])]
+        if dup.any():
+            keep = ~dup
+            ids_all, bkt, vecs = ids_all[keep], bkt[keep], vecs[keep]
+        starts = np.flatnonzero(np.r_[True, bkt[1:] != bkt[:-1]])
+        ends = np.r_[starts[1:], len(bkt)]
         out = []
-        for _, g in df.groupby("bucket", sort=False):
-            g = g.sort_values(id_col, kind="mergesort").drop_duplicates(id_col)
-            if len(g) < 2:
-                continue
-            v = np.array(g[vec_col].tolist(), dtype=np.float64)
+        for gi in np.flatnonzero((ends - starts) >= 2):
+            s, e = int(starts[gi]), int(ends[gi])
+            v = np.stack(vecs[s:e]).astype(np.float64)
             vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True),
                                 1e-12)
-            ids = g[id_col].tolist()
-            if len(ids) > max_bucket:   # hub-and-spoke for mega-buckets
+            ids = ids_all[s:e]
+            if e - s > max_bucket:   # hub-and-spoke for mega-buckets
                 sim = vn[1:] @ vn[0]
                 for off in np.flatnonzero(sim >= threshold):
                     out.append((ids[0], ids[1 + off],

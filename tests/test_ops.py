@@ -230,3 +230,15 @@ def test_grouped_map_schema_stability(ray_session):
                       out_schema=out_schema).to_pandas()
     assert list(res.columns) == ["k", "n"]
     assert res["n"].sum() == 20  # only the odd-v rows counted
+
+
+def test_embedding_dup_pairs_hub_cap(ray_session):
+    # a mass-duplicated bucket beyond max_bucket degrades to hub-and-
+    # spoke: pairs stay LINEAR in bucket size, connected through the hub
+    v = [0.1] * 16
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": v} for i in range(10)])
+    pairs = embedding_dup_pairs(ds, threshold=0.99,
+                                max_bucket=4).to_pandas()
+    assert len(pairs) == 9            # not C(10,2) = 45
+    assert (pairs["id_a"] == 0).all()  # hub = minimum id
