@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_topk_ivf": e.q_emb_topk_ivf,
         "emb_dup_pairs": e.q_emb_dup_pairs,
         "media_features": e.q_media_features,
+        "media_frames": e.q_media_frames,
     }
 
 

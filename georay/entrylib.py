@@ -771,6 +771,22 @@ def q_media_features(sf_dir: str):
                               ).map_batches(widen, batch_format="pyarrow")
 
 
+def q_media_frames(sf_dir: str):
+    """Video frame sampling (actor-pool explode): one row per sampled
+    frame at 1000 ms stride; frame counts per media verified against
+    ceil(duration/stride) in SQL."""
+    from .ops.multimodal import FrameSampler
+    from .tiles import rollup_counts
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"),
+                               columns=["media_id", "kind", "duration_ms"]
+                               ).repartition(4)
+    frames = ds.map_batches(FrameSampler, batch_size=32, concurrency=2,
+                            fn_constructor_kwargs={"stride_ms": 1000},
+                            batch_format="pyarrow")
+    return rollup_counts(frames, "media_id")
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL builders for the algorithmic queries (each replicates the
 # engine kernel value-for-value in DuckDB SQL; constants are embedded
@@ -998,6 +1014,12 @@ def build_oracle_sql() -> dict[str, str]:
         "media_features": f"""
             select media_id, kind, cast(16 as bigint) as feature_dim
             from read_parquet('{s01}/media.parquet')""",
+        "media_frames": f"""
+            select media_id,
+                   cast(ceil(greatest(duration_ms, 1) / 1000.0) as bigint)
+                   as n
+            from read_parquet('{s01}/media.parquet')
+            where kind = 'video'""",
         "geo_exact_match": f"""
             with g as (
                 select {norm_name} k, post_code, min(place_id) place_id
