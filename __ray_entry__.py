@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_sessionize": e.q_rel_sessionize,
         "rel_asof_join": e.q_rel_asof_join,
         "rel_events_daily": e.q_rel_events_daily,
+        "rel_window_7d": e.q_rel_window_7d,
         # document / embedding training-data ops (testdata)
         "doc_dedup_exact": e.q_doc_dedup_exact,
         "doc_token_stats": e.q_doc_token_stats,

@@ -598,6 +598,43 @@ def q_rel_sessionize(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_window_7d(sf_dir: str):
+    """Trailing-7-day windowed aggregate per user: map-side per-(user,
+    day) partial counts, ONE hash shuffle on the user key, then a
+    vectorized calendar-range rolling sum per partition — the
+    time-range window aggregate Ray Data lacks natively."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.floor("D")
+        g = (df.groupby(["user_id", "day"], sort=False)
+             .size().rename("n").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        g = (df.groupby(["user_id", "day"], sort=False)["n"].sum()
+             .reset_index().sort_values(["user_id", "day"],
+                                        kind="mergesort"))
+        # pandas rolling('7D') is the half-open window (t-7d, t], which
+        # at day granularity equals SQL RANGE 6 days PRECEDING..CURRENT
+        roll = (g.set_index("day").groupby("user_id")
+                .rolling("7D")["n"].sum())
+        g["n7"] = roll.to_numpy().astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(g["user_id"].to_numpy(), pa.int64()),
+            "day": pa.array(g["day"].dt.strftime("%Y-%m-%d"),
+                            pa.string()),
+            "n7": pa.array(g["n7"].to_numpy(), pa.int64())})
+
+    return grouped_map(partials, "user_id", per_partition,
+                       num_partitions=16, group_fn=False)
+
+
 def q_rel_events_daily(sf_dir: str):
     from ray.data.aggregate import Sum
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
@@ -1113,6 +1150,15 @@ def build_oracle_sql() -> dict[str, str]:
             select user_id, cast(sid as bigint) as session_idx,
                    cast(count(*) as bigint) as n_events
             from s group by 1, 2""",
+        "rel_window_7d": """
+            with d as (select user_id, date_trunc('day', ts) as day,
+                              count(*) as n
+                       from events group by 1, 2)
+            select user_id, strftime(day, '%Y-%m-%d') as day,
+                   cast(sum(n) over (partition by user_id order by day
+                        range between interval 6 days preceding
+                        and current row) as bigint) as n7
+            from d""",
         "rel_events_daily": """
             select event_type, strftime(ts, '%Y-%m-%d') as day,
                    count(*) as n
