@@ -409,24 +409,15 @@ def _finalize(df: pd.DataFrame, extra_cols: list[str]) -> pd.DataFrame:
     return pd.DataFrame(data, index=df.index)
 
 
-def process_addresses_df(df: pd.DataFrame, gazetteer, parser,
-                         cfg: PipelineConfig,
-                         stats_out: list | None = None) -> pd.DataFrame:
-    """Full cascade over one batch of addresses → fixed-schema frame with
-    one row per match/reject plus 'unmatched' stubs
-    (utils.py:1195-1279).
-
-    ``stats_out`` (optional list) receives one dict per executed cascade
-    step: {step, method, todo, sent, match, reject_rec, seconds} — the
-    reference's ``timestats``/step-stats analogue (base.py:275-301,
-    utils.py:678-686), surfaced instead of discarded."""
+def _run_cascade(inputs: pd.DataFrame, gazetteer, parser,
+                 cfg: PipelineConfig,
+                 stats_out: list | None = None) -> pd.DataFrame:
+    """The cascade proper over a NORMALIZED input frame (str-typed base
+    columns) → fixed-schema finalized frame.  Factored out so the
+    per-worker result memo can run it on unique-address representatives
+    only (see process_addresses_df)."""
     import time as _time
     base_cols = [ADDR_KEY] + INPUT_FIELDS
-    extra_cols = [c for c in df.columns if c not in base_cols]
-    inputs = df[base_cols].copy()
-    for c in base_cols:
-        inputs[c] = inputs[c].fillna("").astype(str)
-
     chunk = inputs
     matches = []
     rejects = []
@@ -499,7 +490,91 @@ def process_addresses_df(df: pd.DataFrame, gazetteer, parser,
     if not parts:
         return _finalize(pd.DataFrame(columns=base_cols), [])
     allrows = pd.concat(parts, sort=False, ignore_index=True)
-    out = _finalize(allrows, [])
+    return _finalize(allrows, [])
+
+
+def _cascade_with_memo(inputs: pd.DataFrame, gazetteer, parser,
+                       cfg: PipelineConfig) -> pd.DataFrame:
+    """Per-worker FULL-CASCADE memo keyed on the 5 input fields: the
+    cascade is a deterministic function of (street, housenumber,
+    postcode, city, country) — addr_key only labels rows — and real
+    corpora repeat addresses heavily (the bench corpus is 83% repeats),
+    so the cascade runs once per UNIQUE address per worker and every
+    other occurrence assembles its result rows from typed cached arrays.
+
+    The memo is capped per worker per config; overflow keys are still
+    computed (and served batch-locally), just not retained."""
+    memo_all = getattr(gazetteer, "_cascade_memo", None)
+    if memo_all is None:
+        memo_all = gazetteer._cascade_memo = {}
+    ckey = repr(cfg)
+    sub = memo_all.get(ckey)
+    if sub is None:
+        sub = memo_all[ckey] = {}
+
+    keys = list(zip(*(inputs[c].tolist() for c in INPUT_FIELDS)))
+    aks = inputs[ADDR_KEY].tolist()
+    reps, seen = [], set()
+    for i, k in enumerate(keys):
+        if k not in sub and k not in seen:
+            seen.add(k)
+            reps.append(i)
+    local: dict = {}
+    if reps:
+        rep_inputs = inputs.iloc[reps]
+        out_rep = _run_cascade(rep_inputs, gazetteer, parser, cfg)
+        rec_cols = [c for c in out_rep.columns if c != ADDR_KEY]
+        ak_to_key = dict(zip(rep_inputs[ADDR_KEY].tolist(),
+                             (keys[i] for i in reps)))
+        # contiguous-slice storage (a pandas groupby per representative
+        # address would re-introduce per-group overhead): stable-sort by
+        # addr_key, slice numpy views per key
+        akcol = out_rep[ADDR_KEY].to_numpy()
+        order = np.argsort(akcol, kind="mergesort")
+        aks_sorted = akcol[order]
+        arrs = {c: out_rep[c].to_numpy()[order] for c in rec_cols}
+        starts = np.flatnonzero(np.r_[True,
+                                      aks_sorted[1:] != aks_sorted[:-1]])
+        ends = np.r_[starts[1:], len(aks_sorted)]
+        for s, e in zip(starts, ends):
+            s, e = int(s), int(e)
+            rec = {c: arrs[c][s:e] for c in rec_cols}
+            k = ak_to_key[aks_sorted[s]]
+            local[k] = rec
+            if len(sub) < (1 << 15):
+                sub[k] = rec
+    per_row = [sub.get(k) or local[k] for k in keys]
+    counts = np.array([len(r[STATUS]) for r in per_row])
+    data = {ADDR_KEY: np.repeat(np.array(aks, dtype=object), counts)}
+    if per_row:
+        for c in per_row[0]:
+            data[c] = np.concatenate([r[c] for r in per_row])
+    return pd.DataFrame(data)
+
+
+def process_addresses_df(df: pd.DataFrame, gazetteer, parser,
+                         cfg: PipelineConfig,
+                         stats_out: list | None = None) -> pd.DataFrame:
+    """Full cascade over one batch of addresses → fixed-schema frame with
+    one row per match/reject plus 'unmatched' stubs
+    (utils.py:1195-1279).
+
+    ``stats_out`` (optional list) receives one dict per executed cascade
+    step: {step, method, todo, sent, match, reject_rec, seconds} — the
+    reference's ``timestats``/step-stats analogue (base.py:275-301,
+    utils.py:678-686), surfaced instead of discarded.  Stats passes
+    bypass the result memo so counters reflect the real cascade."""
+    base_cols = [ADDR_KEY] + INPUT_FIELDS
+    extra_cols = [c for c in df.columns if c not in base_cols]
+    inputs = df[base_cols].copy()
+    for c in base_cols:
+        inputs[c] = inputs[c].fillna("").astype(str)
+
+    if (stats_out is None and cfg.with_cascade_memo
+            and inputs.shape[0] > 0):
+        out = _cascade_with_memo(inputs, gazetteer, parser, cfg)
+    else:
+        out = _run_cascade(inputs, gazetteer, parser, cfg, stats_out)
     if extra_cols:
         out = out.merge(df[[ADDR_KEY] + extra_cols].drop_duplicates(
             subset=[ADDR_KEY]), on=ADDR_KEY, how="left")

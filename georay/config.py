@@ -145,6 +145,9 @@ class PipelineConfig:
     with_candidate_json: bool = False  # long-mode full-fidelity tail:
                                        # raw shaped candidate as JSON
                                        # (SURVEY §1.4 candidate_json)
+    with_cascade_memo: bool = True     # per-worker full-cascade result
+                                       # memo keyed on the 5 input
+                                       # fields (cascade.py rationale)
     with_rejected: bool = True     # REST default is false for batch
                                    # (nominatimwrapper withRejected);
                                    # True keeps full reject rows
