@@ -147,8 +147,17 @@ def run_bench() -> dict:
     # withRejected=False mirrors the reference benchmark config
     # (/batchGeocode default, nominatimwrapper.py) and skips the 3x-wider
     # reject rows; checkResult stays ON (full comparator validation).
+    # GEORAY_CASCADE_MEMO=off disables the per-worker result memo: the
+    # --scaling harness sets it because the memo's hit rate depends on
+    # each worker's SHARE of a toy-sized corpus (a 2-CPU worker sees
+    # 16x more of it than a 32-CPU worker), which skews the N-vs-4N
+    # comparison in a way impossible at production scale where every
+    # worker saturates its cap.  Plain bench keeps the memo on (the
+    # production default).
+    memo_on = os.environ.get("GEORAY_CASCADE_MEMO", "on") != "off"
     res = geocode_documents(docs, spec=spec,
-                            cfg=PipelineConfig(with_rejected=False),
+                            cfg=PipelineConfig(with_rejected=False,
+                                               with_cascade_memo=memo_on),
                             concurrency=cascade_conc, batch_size=1024)
     match = res.map_batches(
         lambda b: b.filter(pc.equal(b["status"], "match")),
@@ -262,6 +271,10 @@ def run_scaling() -> dict:
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env.setdefault("GEORAY_BENCH_DOCS", "360000")  # same input per level
             env.setdefault("GEORAY_BENCH_VECS", "20000")
+            # cache-neutral measure (see run_bench comment): the result
+            # memo's hit rate is a function of per-worker corpus share
+            # at toy scale, so it is disabled for the N-vs-4N pair
+            env.setdefault("GEORAY_CASCADE_MEMO", "off")
             p = subprocess.run([sys.executable, __file__], env=env,
                                capture_output=True, text=True, timeout=3600)
             line = [ln for ln in p.stdout.strip().splitlines()
@@ -310,7 +323,7 @@ def run_control_level() -> dict:
 
     n_iter = 3_000_000
     ray.get([spin.remote(1000) for _ in range(cpus)])  # warm workers
-    tasks = cpus * 6
+    tasks = max(cpus * 6, 48)
     t0 = time.time()
     ray.get([spin.remote(n_iter) for _ in range(tasks)])
     dt = time.time() - t0
@@ -325,7 +338,7 @@ def run_control() -> dict:
     engine's falloff is single-socket cache/bandwidth contention on the
     string-heavy cascade vs anything engine-inherent."""
     best = {}
-    for cpus in (8, 32):
+    for cpus in (2, 8, 32):
         for _ in range(2):
             env = dict(os.environ)
             env["GEORAY_CONTROL_CPUS"] = str(cpus)
@@ -338,11 +351,14 @@ def run_control() -> dict:
             r = json.loads(line)
             if cpus not in best or r["iters_per_sec"] > best[cpus]:
                 best[cpus] = r["iters_per_sec"]
-    eff = (best[32] / best[8]) / 4.0
-    return {"metric": "control_scaling_8_to_32", "value": round(eff, 3),
+    eff28 = (best[8] / best[2]) / 4.0
+    eff832 = (best[32] / best[8]) / 4.0
+    return {"metric": "control_scaling_8_to_32",
+            "value": round(eff832, 3),
             "unit": "ratio", "queries": {}, "sf": "control",
             "num_cpus": 32, "iters_per_sec": best,
-            "efficiency_8_to_32": round(eff, 3)}
+            "efficiency_2_to_8": round(eff28, 3),
+            "efficiency_8_to_32": round(eff832, 3)}
 
 
 if __name__ == "__main__":
