@@ -184,3 +184,41 @@ def test_nozip_nocountry_transformers(world):
     assert len(out) == 1 and out.iloc[0][POSTCODE] == ""
     out2 = apply_transformers(df, ["nocountry"], parser, gaz, cfg)
     assert len(out2) == 1 and out2.iloc[0][COUNTRY] == ""
+
+
+def test_cascade_memo_cold_warm_identical():
+    """The per-worker result memo must be invisible in outputs: a batch
+    processed cold (memo empty), then again warm (all hits), and with
+    the memo disabled, yields identical rows."""
+    import pandas as pd
+
+    from georay.cascade import process_addresses_df
+    from georay.config import ADDR_KEY, PipelineConfig
+    from georay.gazetteer import GazetteerSpec, get_gazetteer
+    from georay.parser import AddressParser
+
+    gaz = get_gazetteer(GazetteerSpec())
+    # fresh memo namespace for this test's config
+    parser = AddressParser()
+    st = gaz.places[gaz.places.place_rank == 26].head(4)
+    rows = []
+    for i, (_, s) in enumerate(st.iterrows()):
+        for rep in range(2):   # in-batch duplicates too
+            rows.append({ADDR_KEY: f"m{i}_{rep}", "street_name": s["name"],
+                         "house_number": "4", "post_code": s["post_code"],
+                         "post_name": s["post_name"],
+                         "country_name": "Belgium"})
+    df = pd.DataFrame(rows)
+    cfg_memo = PipelineConfig(with_cascade_memo=True)
+    cfg_plain = PipelineConfig(with_cascade_memo=False)
+
+    def canon(out):
+        return (out.sort_values([ADDR_KEY, "status", "m_place_id"])
+                .reset_index(drop=True)
+                .sort_index(axis=1))
+
+    cold = canon(process_addresses_df(df, gaz, parser, cfg_memo))
+    warm = canon(process_addresses_df(df, gaz, parser, cfg_memo))
+    plain = canon(process_addresses_df(df, gaz, parser, cfg_plain))
+    pd.testing.assert_frame_equal(cold, warm)
+    pd.testing.assert_frame_equal(cold, plain)
