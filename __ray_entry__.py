@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_top1_per_key": e.q_rel_top1_per_key,
         "rel_anti_join": e.q_rel_anti_join,
         "rel_broadcast_join": e.q_rel_broadcast_join,
+        "rel_topk_global": e.q_rel_topk_global,
         "rel_first_event": e.q_rel_first_event,
         "rel_sessionize": e.q_rel_sessionize,
         "rel_asof_join": e.q_rel_asof_join,

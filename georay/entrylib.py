@@ -455,6 +455,31 @@ def q_rel_anti_join(sf_dir: str):
     return pa.Table.from_pandas(pdf[["c_custkey"]], preserve_index=False)
 
 
+def q_rel_topk_global(sf_dir: str, k: int = 10):
+    """Global top-k (ORDER BY ... LIMIT k) without a global sort:
+    per-batch partial top-k inside map_batches, then one tiny driver
+    merge over (k × blocks) rows — the only rows that ever leave the
+    workers."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True],
+            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    top = parts.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    top["rnk"] = np.arange(1, len(top) + 1)
+    return pa.table({
+        "o_orderkey": pa.array(top["o_orderkey"].to_numpy(), pa.int64()),
+        "rnk": pa.array(top["rnk"].to_numpy(), pa.int64())})
+
+
 def q_rel_broadcast_join(sf_dir: str):
     """Broadcast hash join + map-side pre-aggregation: the small customer
     dimension is put into the object store ONCE (``ray.put``) and read by
@@ -1111,6 +1136,12 @@ def build_oracle_sql() -> dict[str, str]:
             select c_custkey from customer
             where not exists (select 1 from orders
                               where o_custkey = c_custkey)""",
+        "rel_topk_global": """
+            with r as (select o_orderkey,
+                              row_number() over (order by o_totalprice
+                                  desc, o_orderkey asc) rnk
+                       from orders)
+            select o_orderkey, rnk from r where rnk <= 10""",
         "rel_broadcast_join": """
             select c_mktsegment, count(*) as n,
                    cast(sum(cast(floor(o_totalprice*100+0.5) as bigint))
