@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_method_stats": e.q_geo_method_stats,
         "geo_hex_assign": e.q_geo_hex_assign,
         "geo_hex_rollup": e.q_geo_hex_rollup,
+        "geo_hex_rollup_pipeline": e.q_geo_hex_rollup_pipeline,
         "geo_knn_rescue": e.q_geo_knn_rescue,
         # relational operator parity (testdata)
         "rel_groupby_agg": e.q_rel_groupby_agg,

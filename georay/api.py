@@ -160,6 +160,16 @@ def _world(spec: GazetteerSpec | None):
     return get_gazetteer(spec), AddressParser()
 
 
+def _long_mode_cfg(cfg: PipelineConfig, mode: str) -> PipelineConfig:
+    """Long mode always carries the full candidate tail (the reference
+    long mode returns every Nominatim field) — enforced even when the
+    caller passes an explicit cfg."""
+    if mode == "long" and not cfg.with_candidate_json:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, with_candidate_json=True)
+    return cfg
+
+
 def _fast_path(data: dict, gaz, parser, with_rejected: bool,
                extra_house_number: bool) -> dict | None:
     """FASTMODE: one direct geocoder call, collapse-format the first
@@ -254,8 +264,8 @@ def geocode_one(data: dict, mode: str = "short", with_rejected: bool = True,
     for f in INPUT_FIELDS:
         row[f] = str(data.get(f, "") or "")
     cfg = cfg or PipelineConfig(check_results=check_result,
-                                with_extra_house_number=extra_house_number,
-                                with_candidate_json=(mode == "long"))
+                                with_extra_house_number=extra_house_number)
+    cfg = _long_mode_cfg(cfg, mode)
     res = process_addresses_df(pd.DataFrame([row]), gaz, parser, cfg)
     return _format_results(res, mode, with_rejected)
 
@@ -300,8 +310,8 @@ def batch_geocode(payload: list[dict], mode: str = "short",
         rows.append(row)
     gaz, parser = _world(spec)
     cfg = cfg or PipelineConfig(check_results=check_result,
-                                with_extra_house_number=extra_house_number,
-                                with_candidate_json=(mode == "long"))
+                                with_extra_house_number=extra_house_number)
+    cfg = _long_mode_cfg(cfg, mode)
     res = process_addresses_df(pd.DataFrame(rows), gaz, parser, cfg)
     return _format_results(res, mode, with_rejected)
 

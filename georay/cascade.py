@@ -521,14 +521,24 @@ def _cascade_with_memo(inputs: pd.DataFrame, gazetteer, parser,
             reps.append(i)
     local: dict = {}
     if reps:
-        rep_inputs = inputs.iloc[reps]
+        # SYNTHETIC representative keys: a caller batch may reuse one
+        # addr_key for different address tuples (the REST layer rejects
+        # that, this function must not crash on it) — unique synthetic
+        # keys guarantee one output group per representative tuple.
+        # Real keys never enter this frame, so only uniqueness among
+        # reps matters; keys must be plain printable strings (pandas'
+        # string hashtable truncates at an embedded NUL, collapsing
+        # groups).
+        rep_inputs = inputs.iloc[reps].copy()
+        rep_aks = [f"r{j}" for j in range(len(reps))]
+        rep_inputs[ADDR_KEY] = rep_aks
         out_rep = _run_cascade(rep_inputs, gazetteer, parser, cfg)
         rec_cols = [c for c in out_rep.columns if c != ADDR_KEY]
-        ak_to_key = dict(zip(rep_inputs[ADDR_KEY].tolist(),
-                             (keys[i] for i in reps)))
+        ak_to_key = dict(zip(rep_aks, (keys[i] for i in reps)))
         # contiguous-slice storage (a pandas groupby per representative
         # address would re-introduce per-group overhead): stable-sort by
-        # addr_key, slice numpy views per key
+        # addr_key, slice + COPY per key (a view would pin the whole
+        # representative batch's arrays in the memo for its lifetime)
         akcol = out_rep[ADDR_KEY].to_numpy()
         order = np.argsort(akcol, kind="mergesort")
         aks_sorted = akcol[order]
@@ -538,7 +548,7 @@ def _cascade_with_memo(inputs: pd.DataFrame, gazetteer, parser,
         ends = np.r_[starts[1:], len(aks_sorted)]
         for s, e in zip(starts, ends):
             s, e = int(s), int(e)
-            rec = {c: arrs[c][s:e] for c in rec_cols}
+            rec = {c: arrs[c][s:e].copy() for c in rec_cols}
             k = ak_to_key[aks_sorted[s]]
             local[k] = rec
             if len(sub) < (1 << 15):
@@ -683,11 +693,12 @@ def step_stats_fn(spec: GazetteerSpec | None = None,
         if worker is None:
             worker = CascadeGeocoder(spec=spec, cfg=cfg)
             _PROCESS_COMPONENT_CACHE[key] = worker
-        df = batch.to_pandas()
         if spans:
             from .spans import explode_spans
             df = explode_spans(batch).to_pandas()
             df = df[df["is_address"]]
+        else:
+            df = batch.to_pandas()
         stats: list[dict] = []
         if df.shape[0]:
             process_addresses_df(df[[ADDR_KEY] + INPUT_FIELDS],

@@ -294,6 +294,26 @@ def q_geo_hex_rollup(sf_dir: str):
     return rollup_counts_salted(q_geo_hex_assign(sf_dir), "hex_cell")
 
 
+def q_geo_hex_rollup_pipeline(sf_dir: str):
+    """Hex rollup over GEOCODED MATCH coordinates (the round-1 query
+    shape): the annotator-assigned hex cells of pipeline matches are
+    snapshotted so the oracle can verify the salted rollup with a SQL
+    group-by over the same rows — keeps the pipeline's hex assignment
+    exercised (the hex math itself is fully oracled by
+    geo_hex_assign)."""
+    import shutil
+
+    from .tiles import rollup_counts_salted
+    out = _geocode_documents_ds(sf_dir, with_knn=False)
+    match = out.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["status"], "match")),
+        batch_format="pyarrow").select_columns(["addr_key", "hex_cell"])
+    snap = os.path.join(synth_dir(sf_dir), "hex_rollup_input")
+    shutil.rmtree(snap, ignore_errors=True)
+    match.write_parquet(snap)
+    return rollup_counts_salted(ray.data.read_parquet(snap), "hex_cell")
+
+
 def q_geo_span_conservation(sf_dir: str):
     """Pipeline invariant with a hard oracle: every input span appears in
     the geocode output exactly once (match/reject rows collapse via
@@ -447,12 +467,14 @@ def q_rel_anti_join(sf_dir: str):
 
     out = grouped_map(cust.union(orders), "k", anti, num_partitions=32,
                       group_fn=False)
-    # typed-empty guard: an all-empty result would otherwise surface
-    # Ray's zero-column empty blocks as a schema-less frame
-    pdf = out.to_pandas()
-    if pdf.empty:
+    # typed-empty guard WITHOUT driver materialization: count() is a
+    # distributed aggregate; rows only stream onward when non-empty.
+    # (An all-empty Dataset would otherwise surface Ray's zero-column
+    # empty blocks — the UDF is skipped on empty shuffle partitions —
+    # as a schema-less frame at the comparison boundary.)
+    if out.count() == 0:
         return pa.table({"c_custkey": pa.array([], pa.int64())})
-    return pa.Table.from_pandas(pdf[["c_custkey"]], preserve_index=False)
+    return out
 
 
 def q_rel_topk_global(sf_dir: str, k: int = 10):
@@ -793,8 +815,13 @@ def q_emb_topk_ivf(sf_dir: str):
     from .ops.similarity import kmeans_lite, topk_cosine_ivf
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
-    # codebook from a Dataset-side sample: only 256 rows reach the driver
-    sample = ds.limit(256).to_pandas()
+    # deterministic bounded codebook sample: row-filter pushdown on the
+    # key (ds.limit() truncates by block ARRIVAL order, so the codebook
+    # — and hence the IVF output — would vary run to run)
+    sample = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", 256)]
+                           ).to_pandas().sort_values("vec_id")
     mat = np.array(sample["embedding"].tolist(), dtype=np.float64)
     cents = kmeans_lite(mat, n_clusters=8)
     out = topk_cosine_ivf(ds, _first_queries(sf_dir), cents, k=5,
@@ -1063,6 +1090,10 @@ def build_oracle_sql() -> dict[str, str]:
         "geo_hex_rollup": f"""
             with h as ({_hex_sql(gaz)})
             select hex_cell, count(*) as n from h group by 1""",
+        "geo_hex_rollup_pipeline": f"""
+            select hex_cell, count(*) as n
+            from read_parquet('{s01}/hex_rollup_input/*.parquet')
+            group by 1""",
         "doc_langid": _langid_sql("documents"),
         "doc_fingerprint": _fingerprint_sql("documents"),
         "doc_minhash_pairs": _minhash_sql("documents", threshold=0.5),

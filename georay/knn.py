@@ -207,6 +207,11 @@ def knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k: int = 3,
                                  else qs.columns)
                      if not str(c).startswith("_")]
             e = qs[qcols].copy()
+            # empty object columns would infer as Arrow null and break
+            # the stream schema — pin them to string explicitly
+            for c in qcols:
+                if e[c].dtype == object:
+                    e[c] = e[c].astype("string")
             e["neighbor_id"] = np.array([], dtype=np.int64)
             e["score"] = np.array([], dtype=np.float64)
             e["rank"] = np.array([], dtype=np.int64)

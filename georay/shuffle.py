@@ -79,6 +79,8 @@ def grouped_map(ds: "ray.data.Dataset",
             outs = []
             for _, g in df.groupby(keys, sort=False):
                 r = fn(g)
+                if isinstance(r, pa.Table):  # per-group Table returns
+                    r = r.to_pandas()        # are concatenated below
                 if r is not None and len(r):
                     outs.append(r)
             res = (pd.concat(outs, ignore_index=True) if outs

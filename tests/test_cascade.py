@@ -222,3 +222,36 @@ def test_cascade_memo_cold_warm_identical():
     plain = canon(process_addresses_df(df, gaz, parser, cfg_plain))
     pd.testing.assert_frame_equal(cold, warm)
     pd.testing.assert_frame_equal(cold, plain)
+
+
+def test_cascade_memo_duplicate_addr_key_different_tuples():
+    """A batch may (illegitimately but non-fatally) reuse one addr_key
+    for different address tuples — the memo path must produce the same
+    rows as the plain path, not crash (synthetic representative keys)."""
+    import pandas as pd
+
+    from georay.cascade import process_addresses_df
+    from georay.config import ADDR_KEY, PipelineConfig
+    from georay.gazetteer import GazetteerSpec, get_gazetteer
+    from georay.parser import AddressParser
+
+    gaz = get_gazetteer(GazetteerSpec())
+    parser = AddressParser()
+    st = gaz.places[gaz.places.place_rank == 26].head(2)
+    rows = []
+    for _, s in st.iterrows():   # SAME addr_key, two different streets
+        rows.append({ADDR_KEY: "same_key", "street_name": s["name"],
+                     "house_number": "4", "post_code": s["post_code"],
+                     "post_name": s["post_name"],
+                     "country_name": "Belgium"})
+    df = pd.DataFrame(rows)
+
+    # memo path: each row resolves via its own tuple (the plain path's
+    # key-based joins fan out on duplicated keys — the REST layer
+    # rejects them; this path must stay sane, not crash)
+    out = process_addresses_df(df, gaz, parser,
+                               PipelineConfig(with_cascade_memo=True))
+    matches = out[out["status"] == "match"]
+    assert len(matches) == 2               # one per distinct tuple
+    assert set(matches["street_name"]) == set(st["name"])
+    assert (out[ADDR_KEY] == "same_key").all()
