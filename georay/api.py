@@ -171,10 +171,11 @@ def _long_mode_cfg(cfg: PipelineConfig, mode: str) -> PipelineConfig:
 
 
 def _fast_path(data: dict, gaz, parser, with_rejected: bool,
-               extra_house_number: bool) -> dict | None:
+               extra_house_number: bool, mode: str = "short") -> dict | None:
     """FASTMODE: one direct geocoder call, collapse-format the first
     result, low-rank retry on cleansed house number
-    (process_address_fast, utils.py:963-1076)."""
+    (process_address_fast, utils.py:963-1076).  Long mode attaches the
+    raw candidate record (candidateJson) like the cascade path."""
     addr_in = clean_addr_in(
         f"{data.get(STREET, '')}, {data.get(HOUSENBR, '')}, "
         f"{data.get(POSTCODE, '')} {data.get(CITY, '')}, "
@@ -190,6 +191,10 @@ def _fast_path(data: dict, gaz, parser, with_rejected: bool,
                           "osmOrder": order},
              "output": {"lat": float(rec["lat"]), "lon": float(rec["lon"]),
                         "displayName": rec.get("display_name", "")}}
+        if mode == "long":
+            import json as _json
+            m["metadata"]["candidateJson"] = _json.dumps(
+                rec, sort_keys=True, default=str)
         for out_key, in_keys in (("streetName", ["road", "pedestrian"]),
                                  ("postName", ["town", "village", "city"]),
                                  ("houseNumber", ["house_number"]),
@@ -209,7 +214,7 @@ def _fast_path(data: dict, gaz, parser, with_rejected: bool,
             retry = dict(data)
             retry[HOUSENBR] = mm.group(1)
             res2 = _fast_path(retry, gaz, parser, with_rejected=False,
-                              extra_house_number=False)
+                              extra_house_number=False, mode=mode)
             if res2 and res2["match"][0]["metadata"]["placeRank"] == 30:
                 res2["match"][0]["metadata"]["cleansedHouseNumber"] = mm.group(1)
                 res2["match"][0]["metadata"]["matchOnCleansedHouseNumber"] = True
@@ -257,7 +262,7 @@ def geocode_one(data: dict, mode: str = "short", with_rejected: bool = True,
     gaz, parser = _world(spec)
     if fastmode and not check_result:
         fast = _fast_path(data, gaz, parser, with_rejected,
-                          extra_house_number)
+                          extra_house_number, mode=mode)
         if fast is not None:
             return fast
     row = {ADDR_KEY: str(data.get(ADDR_KEY) or "-1")}

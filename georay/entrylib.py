@@ -253,23 +253,33 @@ def q_geo_documents_pipeline(sf_dir: str):
          "quad_cell", "pip_ok"])
 
 
+def _snapshot_matches(sf_dir: str, columns: list[str], name: str,
+                      with_tiles: bool) -> "ray.data.Dataset":
+    """Write the pipeline's matched rows (selected columns) to a parquet
+    snapshot under the synth dir and read it back — the oracle SQL for
+    snapshot-verified rollups reads the same files."""
+    import shutil
+    out = _geocode_documents_ds(sf_dir, with_tiles=with_tiles,
+                                with_knn=False)
+    match = out.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["status"], "match")),
+        batch_format="pyarrow").select_columns(columns)
+    snap = os.path.join(synth_dir(sf_dir), name)
+    shutil.rmtree(snap, ignore_errors=True)
+    match.write_parquet(snap)
+    return ray.data.read_parquet(snap)
+
+
 def q_geo_method_stats(sf_dir: str):
     """Match-method distribution.  The matched (addr_key, m_method) rows
     are snapshotted to parquet so the DuckDB oracle can verify the
     distributed rollup path against a SQL group-by over the same rows
     (the cascade itself is covered by the span-conservation/singleton
     invariants and the pytest golden runs)."""
-    import shutil
-
     from .tiles import rollup_counts
-    out = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
-    match = out.map_batches(
-        lambda b: b.filter(pa.compute.equal(b["status"], "match")),
-        batch_format="pyarrow").select_columns(["addr_key", "m_method"])
-    snap = os.path.join(synth_dir(sf_dir), "method_stats_input")
-    shutil.rmtree(snap, ignore_errors=True)
-    match.write_parquet(snap)
-    return rollup_counts(ray.data.read_parquet(snap), "m_method")
+    snap = _snapshot_matches(sf_dir, ["addr_key", "m_method"],
+                             "method_stats_input", with_tiles=False)
+    return rollup_counts(snap, "m_method")
 
 
 def q_geo_hex_assign(sf_dir: str):
@@ -301,17 +311,10 @@ def q_geo_hex_rollup_pipeline(sf_dir: str):
     group-by over the same rows — keeps the pipeline's hex assignment
     exercised (the hex math itself is fully oracled by
     geo_hex_assign)."""
-    import shutil
-
     from .tiles import rollup_counts_salted
-    out = _geocode_documents_ds(sf_dir, with_knn=False)
-    match = out.map_batches(
-        lambda b: b.filter(pa.compute.equal(b["status"], "match")),
-        batch_format="pyarrow").select_columns(["addr_key", "hex_cell"])
-    snap = os.path.join(synth_dir(sf_dir), "hex_rollup_input")
-    shutil.rmtree(snap, ignore_errors=True)
-    match.write_parquet(snap)
-    return rollup_counts_salted(ray.data.read_parquet(snap), "hex_cell")
+    snap = _snapshot_matches(sf_dir, ["addr_key", "hex_cell"],
+                             "hex_rollup_input", with_tiles=True)
+    return rollup_counts_salted(snap, "hex_cell")
 
 
 def q_geo_span_conservation(sf_dir: str):
@@ -467,11 +470,13 @@ def q_rel_anti_join(sf_dir: str):
 
     out = grouped_map(cust.union(orders), "k", anti, num_partitions=32,
                       group_fn=False)
-    # typed-empty guard WITHOUT driver materialization: count() is a
-    # distributed aggregate; rows only stream onward when non-empty.
-    # (An all-empty Dataset would otherwise surface Ray's zero-column
-    # empty blocks — the UDF is skipped on empty shuffle partitions —
-    # as a schema-less frame at the comparison boundary.)
+    # typed-empty guard WITHOUT driver row materialization: materialize
+    # pins the blocks in the OBJECT STORE (not driver heap) so the
+    # count and the consumer share one execution.  (An all-empty
+    # Dataset would otherwise surface Ray's zero-column empty blocks —
+    # the UDF is skipped on empty shuffle partitions — as a schema-less
+    # frame at the comparison boundary.)
+    out = out.materialize()
     if out.count() == 0:
         return pa.table({"c_custkey": pa.array([], pa.int64())})
     return out

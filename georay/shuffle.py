@@ -79,10 +79,14 @@ def grouped_map(ds: "ray.data.Dataset",
             outs = []
             for _, g in df.groupby(keys, sort=False):
                 r = fn(g)
-                if isinstance(r, pa.Table):  # per-group Table returns
-                    r = r.to_pandas()        # are concatenated below
                 if r is not None and len(r):
                     outs.append(r)
+            if outs and all(isinstance(r, pa.Table) for r in outs):
+                # verbatim Arrow pass-through: a pandas round-trip would
+                # re-infer types and destroy the explicit schema
+                return pa.concat_tables(outs)
+            outs = [r.to_pandas() if isinstance(r, pa.Table) else r
+                    for r in outs]
             res = (pd.concat(outs, ignore_index=True) if outs
                    else df.iloc[0:0])
         if isinstance(res, pa.Table):
