@@ -193,7 +193,13 @@ def run_bench() -> dict:
         b = b.filter(b["is_address"]).select(["addr_key", "text"])
         return b.rename_columns(["doc_id", "text"])
 
-    spans = (ray.data.read_parquet(paths)
+    # override_num_blocks: the stride sample selects FEW files (~15 of
+    # 240 at sf0.1) and read_parquet's default one-block-per-file caps
+    # the fused read->signature stage at that task count — 15 busy
+    # cores of 32 (round-2 regression: 28 s for a 7 s stage).  Force
+    # enough blocks that every worker gets signature work.
+    spans = (ray.data.read_parquet(paths,
+                                   override_num_blocks=max(64, num_cpus * 3))
              .map_batches(explode_spans, batch_format="pyarrow")
              .map_batches(addr_spans, batch_format="pyarrow"))
     pairs = minhash_lsh_pairs(spans, threshold=0.8)

@@ -621,15 +621,15 @@ _PROCESS_COMPONENT_CACHE: dict = {}
 
 
 def _tune_worker_gc() -> None:
-    """Once per worker after heavy state construction: freeze the
-    long-lived gazetteer/parser/memo objects out of the GC scan set and
-    raise the gen-0 threshold — the cascade allocates millions of
-    short-lived objects per batch, and cyclic-GC rescans of the frozen
-    index were measurable overhead at high worker counts."""
-    import gc
-    gc.collect()
-    gc.freeze()
-    gc.set_threshold(100000, 50, 50)
+    """Freeze the long-lived gazetteer/parser/memo objects out of the GC
+    scan set and raise the gen-0 threshold — the cascade allocates
+    millions of short-lived objects per batch, and cyclic-GC rescans of
+    the frozen index were measurable overhead at high worker counts.
+    SCOPED to the cascade: non-cascade batch fns restore default GC via
+    ``_workergc.default_gc`` when they take over a reused worker (see
+    _workergc docstring for the measured interference)."""
+    from ._workergc import cascade_gc
+    cascade_gc()
 
 
 def span_cascade_fn(spec: GazetteerSpec | None = None,
@@ -645,7 +645,7 @@ def span_cascade_fn(spec: GazetteerSpec | None = None,
         if worker is None:
             worker = SpanCascadeGeocoder(spec=spec, cfg=cfg)
             _PROCESS_COMPONENT_CACHE[key] = worker
-            _tune_worker_gc()
+        _tune_worker_gc()  # no-op when already in cascade GC mode
         return worker(batch)
 
     return fn
@@ -663,7 +663,7 @@ def address_cascade_fn(spec: GazetteerSpec | None = None,
         if worker is None:
             worker = CascadeGeocoder(spec=spec, cfg=cfg)
             _PROCESS_COMPONENT_CACHE[key] = worker
-            _tune_worker_gc()
+        _tune_worker_gc()  # no-op when already in cascade GC mode
         return worker(batch)
 
     return fn

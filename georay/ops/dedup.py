@@ -29,6 +29,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .._workergc import default_gc
+
 _WORD = re.compile(r"\w+", re.U)
 
 _MERSENNE = (1 << 61) - 1
@@ -114,6 +116,7 @@ def exact_duplicates(ds: "ray.data.Dataset", id_col: str = "doc_id",
     """One row per document that is NOT the keeper of its content group:
     (doc_id, keeper_id, content_key).  Hash-partition + per-group-min."""
     def add_key(batch: pa.Table) -> pa.Table:
+        default_gc()
         keys = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
                 for t in batch[text_col].to_pylist()]
         return pa.table({id_col: batch[id_col],
@@ -159,6 +162,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
         in-group verify keeps the pair set correct) + the signature as a
         512-byte binary (k little-endian uint64) — far cheaper through
         the shuffle and the pandas boundary than list<int64>."""
+        default_gc()
         hasher = get_minhasher(k=k, shingle_n=shingle_n)
         texts = batch[text_col].to_pylist()
         n = len(texts)
@@ -258,6 +262,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
     the 4 16-bit chunks (pigeonhole guarantee for <=3 bit flips).
     Mega-buckets fall back to hub-and-spoke (see minhash_lsh_pairs)."""
     def to_buckets(batch: pa.Table) -> pa.Table:
+        default_gc()
         texts = batch[text_col].to_pylist()
         n = len(texts)
         s = np.fromiter((int(simhash64(t)) for t in texts),
@@ -318,6 +323,7 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
     _MIX = np.uint64(0x9E3779B97F4A7C15)
 
     def to_buckets(batch: pa.Table) -> pa.Table:
+        default_gc()
         hasher = get_minhasher(k=k, shingle_n=shingle_n)
         texts = batch[text_col].to_pylist()
         n = len(texts)
@@ -392,6 +398,7 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
     O(n²) in-group cosine matrix — output stays linear in bucket size and
     duplicate groups remain connected through the hub."""
     def to_buckets(batch: pa.Table) -> pa.Table:
+        default_gc()
         from .similarity import vec_matrix
         vecs = vec_matrix(batch, vec_col)
         dim = vecs.shape[1] if vecs.ndim == 2 else 1

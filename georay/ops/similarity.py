@@ -21,6 +21,8 @@ import pyarrow as pa
 
 import ray.data
 
+from .._workergc import default_gc
+
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
@@ -53,6 +55,7 @@ def topk_cosine_brute(ds: "ray.data.Dataset", queries: np.ndarray,
     qn = _normalize(np.asarray(queries, dtype=np.float64))
 
     def partial(batch: pa.Table) -> pa.Table:
+        default_gc()
         v = vec_matrix(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         if v.size == 0:
@@ -117,6 +120,7 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
     probe_sets = [set(p.tolist()) for p in probe]
 
     def partial(batch: pa.Table) -> pa.Table:
+        default_gc()
         v = vec_matrix(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         out_q, out_id, out_s = [], [], []

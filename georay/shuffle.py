@@ -23,6 +23,8 @@ import pyarrow as pa
 
 import ray.data
 
+from ._workergc import default_gc
+
 
 def _hash_col(arr) -> np.ndarray:
     """Deterministic vectorized 64-bit hash of one column (pandas
@@ -64,6 +66,7 @@ def grouped_map(ds: "ray.data.Dataset",
     keys = [key] if isinstance(key, str) else list(key)
 
     def add_part(batch: pa.Table) -> pa.Table:
+        default_gc()  # leave cascade GC mode on reused workers
         cols = [batch[k].to_numpy(zero_copy_only=False) for k in keys]
         return batch.append_column(
             "_part", pa.array(_hash_mod_cols(cols, num_partitions)))
@@ -71,6 +74,7 @@ def grouped_map(ds: "ray.data.Dataset",
     parted = ds.map_batches(add_part, batch_format="pyarrow")
 
     def per_partition(t: pa.Table) -> pa.Table:
+        default_gc()  # leave cascade GC mode on reused workers
         in_schema = pa.schema([f for f in t.schema if f.name != "_part"])
         df = t.drop_columns(["_part"]).to_pandas()
         if not group_fn:
