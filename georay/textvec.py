@@ -40,17 +40,26 @@ def str_codes(s: str) -> np.ndarray:
     return np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
 
 
-def codes_matrix(strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """(codes, lens): (k, L) uint32 matrix padded with 0 (NUL never
+def codes_matrix(strings: list[str], dtype=np.uint32
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, lens): (k, L) code matrix padded with 0 (NUL never
     appears in real names) + per-row lengths.  Built ONCE per candidate
-    set; queries index row subsets."""
+    set; queries index row subsets.  Pass ``dtype=np.uint8`` when every
+    string is ASCII (e.g. ``normalize_street`` output is [A-Z ] only) —
+    quarter the memory traffic of the comparison kernels.  Characters
+    outside the dtype's range raise (never silently truncate)."""
     k = len(strings)
     lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=k)
     L = int(lens.max()) if k else 0
-    codes = np.zeros((k, max(L, 1)), dtype=np.uint32)
+    codes = np.zeros((k, max(L, 1)), dtype=dtype)
+    limit = int(np.iinfo(dtype).max)
     for i, s in enumerate(strings):
         if s:
-            codes[i, :len(s)] = str_codes(s)
+            c = str_codes(s)
+            if int(c.max()) > limit:
+                raise ValueError(
+                    f"codes_matrix dtype {dtype} too narrow for {s!r}")
+            codes[i, :len(s)] = c
     return codes, lens
 
 
@@ -209,7 +218,11 @@ def jaro_winkler_pairs(qcodes: np.ndarray, qlens: np.ndarray,
     greedy-match loop runs over query character POSITIONS (max query
     length, < ~40 for street names), each iteration vectorized across
     every pair — this is what makes a whole batch's rescue scoring one
-    kernel call instead of P Python calls."""
+    kernel call instead of P Python calls.
+
+    Pairs are processed sorted by descending query length so iteration
+    ``i`` touches only the still-active prefix of rows (mean query
+    length, not max, drives the cost)."""
     P, Mq = qcodes.shape
     L = ccodes.shape[1]
     qlens = qlens.astype(np.int64)
@@ -217,20 +230,24 @@ def jaro_winkler_pairs(qcodes: np.ndarray, qlens: np.ndarray,
     out = np.zeros(P, dtype=np.float64)
     if P == 0:
         return out
+    order = np.argsort(-qlens, kind="stable")
+    qcodes, qlens = qcodes[order], qlens[order]
+    ccodes, clens = ccodes[order], clens[order]
     win = np.maximum(np.maximum(qlens, clens) // 2 - 1, 0)
     pos = np.arange(L)[None, :]
     cvalid = pos < clens[:, None]
     used = np.zeros((P, L), dtype=bool)
     qmatch = np.zeros((P, Mq), dtype=bool)
+    neg_ql = -qlens   # ascending, for searchsorted active-count lookups
     for i in range(Mq):
-        act = i < qlens
-        if not act.any():
+        # rows with qlens > i form the sorted prefix
+        n_act = int(np.searchsorted(neg_ql, -i, side="right"))
+        if n_act == 0:
             break
-        qa_i = qcodes[:, i]
-        lo = np.maximum(0, i - win)[:, None]
-        hi = np.minimum(clens, i + win + 1)[:, None]
-        elig = ((pos >= lo) & (pos < hi) & cvalid & ~used
-                & (ccodes == qa_i[:, None]) & act[:, None])
+        qa_i = qcodes[:n_act, i]
+        # window: |pos - i| <= win, clipped to the candidate's length
+        inwin = (np.abs(pos - i) <= win[:n_act, None]) & cvalid[:n_act]
+        elig = ((ccodes[:n_act] == qa_i[:, None]) & ~used[:n_act] & inwin)
         any_row = elig.any(axis=1)
         if not any_row.any():
             continue
@@ -243,11 +260,23 @@ def jaro_winkler_pairs(qcodes: np.ndarray, qlens: np.ndarray,
     has = mc > 0
     jaro = np.zeros(P, dtype=np.float64)
     if has.any():
+        # compact matched chars to the front via cumsum slots + one
+        # scatter per side (a stable 2D argsort here cost more than the
+        # whole match loop)
+        # slot-within-row from the (sorted) nonzero row ids alone — a 2D
+        # cumsum per side cost more than the whole match loop
         maxmc = int(mc.max())
-        qorder = np.argsort(~qmatch, axis=1, kind="stable")[:, :maxmc]
-        qseq = qcodes[np.arange(P)[:, None], qorder]
-        corder = np.argsort(~used, axis=1, kind="stable")[:, :maxmc]
-        cseq = ccodes[np.arange(P)[:, None], corder]
+
+        def _compact(flags: np.ndarray, codes: np.ndarray) -> np.ndarray:
+            seq = np.zeros((P, maxmc), dtype=np.uint32)
+            rr, cc = np.nonzero(flags)
+            counts = np.bincount(rr, minlength=P)
+            offs = np.repeat(np.r_[0, np.cumsum(counts[:-1])], counts)
+            seq[rr, np.arange(len(rr)) - offs] = codes[rr, cc]
+            return seq
+
+        qseq = _compact(qmatch, qcodes)
+        cseq = _compact(used, ccodes)
         slot = np.arange(maxmc)[None, :] < mc[:, None]
         half_t = ((qseq != cseq) & slot).sum(axis=1) // 2
         mcf = mc.astype(np.float64)
@@ -270,7 +299,9 @@ def jaro_winkler_pairs(qcodes: np.ndarray, qlens: np.ndarray,
     both_empty = (qlens == 0) & (clens == 0)
     out[both_empty] = 1.0
     out[(qlens == 0) ^ (clens == 0)] = 0.0
-    return out
+    unsorted = np.empty_like(out)
+    unsorted[order] = out
+    return unsorted
 
 
 def osa_similarity_pairs(qcodes: np.ndarray, qlens: np.ndarray,
@@ -278,8 +309,12 @@ def osa_similarity_pairs(qcodes: np.ndarray, qlens: np.ndarray,
                          ) -> np.ndarray:
     """Token-sort-style similarity for P pairs: 1 - OSA/max(len), with
     ``levenshtein_similarity``'s edge rule (both empty -> 0.0).  Same
-    wavefront vectorization as ``osa_similarity_vec`` but masked per
-    pair so variable query lengths freeze their final row in place."""
+    wavefront vectorization as ``osa_similarity_vec``; pairs are sorted
+    by descending query length so iteration ``i`` computes only the
+    still-active prefix of rows (their finished rows stay frozen in the
+    full buffers), and the DP runs in int32 — distances are bounded by
+    the padded string widths, and halving the per-iteration memory
+    traffic is what this kernel's cost is made of."""
     P, Mq = qcodes.shape
     L = ccodes.shape[1]
     qlens = qlens.astype(np.int64)
@@ -292,33 +327,36 @@ def osa_similarity_pairs(qcodes: np.ndarray, qlens: np.ndarray,
         sim[(qlens == 0) & (clens == 0)] = 0.0
         return sim
 
-    j_idx = np.arange(L + 1, dtype=np.int64)[None, :]
-    prev2 = None
-    prev = np.broadcast_to(j_idx, (P, L + 1)).astype(np.int64).copy()
-    big = np.iinfo(np.int64).max // 2
-    maxm = int(qlens.max()) if P else 0
+    order = np.argsort(-qlens, kind="stable")
+    qcodes, qlens_s = qcodes[order], qlens[order]
+    ccodes_s, clens_s = ccodes[order], clens[order]
+    j_idx = np.arange(L + 1, dtype=np.int16)[None, :]
+    prev = np.broadcast_to(j_idx, (P, L + 1)).astype(np.int16).copy()
+    prev2 = prev.copy()
+    big = np.int16(np.iinfo(np.int16).max // 2)
+    maxm = int(qlens_s.max())
+    neg_ql = -qlens_s
     for i in range(1, maxm + 1):
-        act = (i <= qlens)
-        if not act.any():
+        n = int(np.searchsorted(neg_ql, -i, side="right"))  # qlens >= i
+        if n == 0:
             break
-        qa_i = qcodes[:, i - 1][:, None]
-        cost = (ccodes != qa_i).astype(np.int64)
-        t = np.empty((P, L + 1), dtype=np.int64)
+        qa_i = qcodes[:n, i - 1][:, None]
+        cost = (ccodes_s[:n] != qa_i).astype(np.int16)
+        t = np.empty((n, L + 1), dtype=np.int16)
         t[:, 0] = i
-        t[:, 1:] = np.minimum(prev[:, :-1] + cost, prev[:, 1:] + 1)
+        t[:, 1:] = np.minimum(prev[:n, :-1] + cost, prev[:n, 1:] + 1)
         if i > 1:
-            qa_p = qcodes[:, i - 2][:, None]
-            tr = (ccodes[:, :-1] == qa_i) & (ccodes[:, 1:] == qa_p)
+            qa_p = qcodes[:n, i - 2][:, None]
+            tr = (ccodes_s[:n, :-1] == qa_i) & (ccodes_s[:n, 1:] == qa_p)
             t[:, 2:] = np.minimum(t[:, 2:],
-                                  np.where(tr, prev2[:, :-2] + 1, big))
+                                  np.where(tr, prev2[:n, :-2] + 1, big))
         cur = np.minimum.accumulate(t - j_idx, axis=1) + j_idx
-        if prev2 is None:
-            prev2 = prev
-        cur = np.where(act[:, None], cur, prev)   # freeze finished rows
-        prev2_new = np.where(act[:, None], prev, prev2)
-        prev2, prev = prev2_new, cur
-    d = prev[np.arange(P), np.minimum(clens, L)].astype(np.float64)
-    denom = np.maximum(np.maximum(qlens, clens), 1).astype(np.float64)
+        prev2[:n] = prev[:n]
+        prev[:n] = cur
+    d = prev[np.arange(P), np.minimum(clens_s, L)].astype(np.float64)
+    denom = np.maximum(np.maximum(qlens_s, clens_s), 1).astype(np.float64)
     sim = 1.0 - d / denom
-    sim[(qlens == 0) & (clens == 0)] = 0.0
-    return sim
+    sim[(qlens_s == 0) & (clens_s == 0)] = 0.0
+    unsorted = np.empty_like(sim)
+    unsorted[order] = sim
+    return unsorted
