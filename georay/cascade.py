@@ -167,9 +167,12 @@ def _match_parent(results: pd.DataFrame, rejects: pd.DataFrame, gazetteer,
                    & (~rejects[ADDR_KEY].isin(results[ADDR_KEY]))]
     if cand.shape[0] == 0:
         return results, rejects
-    alt_rows = []
-    for idx, row in cand.iterrows():
-        det = gazetteer.details(row["n_place_id"])
+    # one details pass per UNIQUE place_id (round-3: was a per-row
+    # iterrows loop with 2 point lookups each), then a vectorized
+    # merge-explode of the highway parents' alt names
+    alt_map_rows = []
+    for pid in pd.unique(cand["n_place_id"]):
+        det = gazetteer.details(pid)
         parent_id = det.get("parent_place_id", 0)
         if not parent_id:
             continue
@@ -177,15 +180,18 @@ def _match_parent(results: pd.DataFrame, rejects: pd.DataFrame, gazetteer,
         if pdet.get("category") != "highway":
             continue
         for lang, alt in pdet.get("names", {}).items():
-            if alt == row[O_STREET]:
-                continue  # alt equal to street name adds nothing (:617)
-            r = row.drop(labels=[M_REJECT_REASON]).to_dict()
-            r["n_alt_name"] = alt
-            r["_src_index"] = idx
-            alt_rows.append(r)
-    if not alt_rows:
+            alt_map_rows.append((pid, alt))
+    if not alt_map_rows:
         return results, rejects
-    alts = pd.DataFrame(alt_rows)
+    alt_map = pd.DataFrame(alt_map_rows, columns=["n_place_id",
+                                                  "n_alt_name"])
+    alts = (cand.drop(columns=[M_REJECT_REASON])
+            .reset_index(names="_src_index")
+            .merge(alt_map, on="n_place_id", how="inner"))
+    # alt equal to street name adds nothing (check_result_utils.py:617)
+    alts = alts[alts["n_alt_name"] != alts[O_STREET]]
+    if alts.shape[0] == 0:
+        return results, rejects
     keep, _ = keep_bests(
         alts, street_cols_a=["n_alt_name"], housenbr_col_a=O_HOUSENBR,
         postcode_col_a=O_POSTCODE, city_col_a=O_CITY,
@@ -381,8 +387,27 @@ def _finalize(df: pd.DataFrame, extra_cols: list[str]) -> pd.DataFrame:
                 data[col] = pd.to_numeric(v, errors="coerce").to_numpy(
                     dtype=np.float64, na_value=np.nan)
             elif col in _INT_COLS:
-                data[col] = pd.to_numeric(v, errors="coerce").to_numpy(
-                    dtype=np.float64, na_value=-1.0).astype(np.int64)
+                if pd.api.types.is_integer_dtype(v):
+                    # already exact — no float64 round-trip (ids above
+                    # 2^53 would silently corrupt)
+                    data[col] = v.to_numpy(dtype=np.int64)
+                elif pd.api.types.is_float_dtype(v):
+                    # exactness already bounded by the float64 source
+                    data[col] = v.to_numpy(dtype=np.float64,
+                                           na_value=-1.0).astype(np.int64)
+                else:
+                    try:  # object column of python ints / NA: exact via
+                        # the nullable Int64 extension array
+                        ia = pd.array(v.to_numpy(dtype=object,
+                                                 na_value=None),
+                                      dtype="Int64")
+                        data[col] = ia.to_numpy(dtype=np.int64,
+                                                na_value=-1)
+                    except (ValueError, TypeError):
+                        data[col] = pd.to_numeric(
+                            v, errors="coerce").to_numpy(
+                            dtype=np.float64, na_value=-1.0
+                        ).astype(np.int64)
             elif col in _BOOL_COLS:
                 a = v.to_numpy(dtype=object, na_value=False)
                 data[col] = np.fromiter((bool(x) for x in a), dtype=bool,

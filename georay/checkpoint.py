@@ -62,8 +62,18 @@ def run_resumable(shards: list[tuple[str, Callable[[], "ray.data.Dataset"]]],
     ``counters_fn`` (optional) computes per-partition metric counters from
     the shard's output dataset (e.g. status counts) — stored in the
     lineage record.
+
+    ``out_dir`` must be a LOCAL-filesystem path (or a mounted one): the
+    crash-idempotent commit uses an atomic directory rename, which object
+    stores don't provide.  For s3://-style outputs, point ``out_dir`` at
+    local/NFS staging and sync committed partitions, or swap the
+    tmp-dir+rename for a pyarrow.fs-based marker-file protocol.
     """
     import shutil
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise ValueError(
+            f"run_resumable requires a local-filesystem out_dir, got "
+            f"{out_dir!r} (atomic rename is the commit primitive)")
     manifest = Manifest(out_dir)
     for partition_id, build in shards:
         if manifest.is_done(partition_id):

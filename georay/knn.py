@@ -238,7 +238,8 @@ def knn_points_broadcast(query_df: pd.DataFrame, ref_lat: np.ndarray,
 
 def knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k: int = 3,
                            query_cols=None, ref_cols=None,
-                           num_partitions: int = 32):
+                           num_partitions: int = 32,
+                           neighbor_id_dtype=np.int64):
     """Generic both-sides-large kNN join over Ray Datasets.
 
     ``bucket_fn(df) -> Series`` assigns the co-partition key to either
@@ -248,7 +249,13 @@ def knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k: int = 3,
     One hash shuffle on the bucket key (partitioned ``grouped_map``, many
     buckets per task — not per-group materialization); top-k selection is
     argpartition + one lexsort per partition, deterministic tie-break on
-    (score desc, neighbor id asc)."""
+    (score desc, neighbor id asc).
+
+    ``neighbor_id_dtype``: dtype of the ids ``score_fn`` returns (numpy
+    dtype, or ``"string"`` for object ids).  Empty partitions emit a
+    typed empty block with this dtype — without it an all-empty
+    partition would pin neighbor_id to int64 and a string-id stream
+    would mix block schemas."""
     import ray.data  # noqa: F401
 
     def tag(side):
@@ -306,7 +313,10 @@ def knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k: int = 3,
             for c in qcols:
                 if e[c].dtype == object:
                     e[c] = e[c].astype("string")
-            e["neighbor_id"] = np.array([], dtype=np.int64)
+            if neighbor_id_dtype == "string":
+                e["neighbor_id"] = pd.array([], dtype="string")
+            else:
+                e["neighbor_id"] = np.array([], dtype=neighbor_id_dtype)
             e["score"] = np.array([], dtype=np.float64)
             e["rank"] = np.array([], dtype=np.int64)
             return e

@@ -246,6 +246,55 @@ def simhash64(text: str) -> np.uint64:
     return out
 
 
+def simhash64_batch(texts: list[str]) -> np.ndarray:
+    """Vectorized ``simhash64`` over a batch: dedup the batch VOCABULARY
+    and hash each distinct word once (round-3 perf item — the scalar
+    version re-md5s every word occurrence of every row), then accumulate
+    the per-row ±1 bit sums with one ``add.reduceat`` over the
+    concatenated word-index runs.  Exact parity with ``simhash64`` per
+    row (occurrence counts preserved; pinned by tests)."""
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    vocab: dict[str, int] = {}
+    idx_rows: list[list[int]] = []
+    for t in texts:
+        idx_rows.append([vocab.setdefault(w, len(vocab))
+                         for w in _WORD.findall((t or "").lower())])
+    out = np.zeros(n, dtype=np.uint64)
+    if not vocab:
+        return out
+    hashes = np.fromiter(
+        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
+         for w in vocab), dtype=np.uint64, count=len(vocab))
+    shifts = np.arange(64, dtype=np.uint64)
+    bits_pm = (((hashes[:, None] >> shifts[None, :]) & np.uint64(1))
+               .astype(np.int32) * 2 - 1)                 # (V, 64) ±1
+    counts = np.fromiter((len(r) for r in idx_rows), dtype=np.int64,
+                         count=n)
+    nz = np.flatnonzero(counts)
+    if not len(nz):
+        return out
+    flat = np.concatenate([idx_rows[i] for i in nz]).astype(np.int64)
+    # per-row segment sums via one contiguous cumsum + boundary diffs,
+    # in (bit, token) layout: both axis-0 cumsum and axis-0 reduceat on
+    # the (token, bit) layout stride cache-hostile (measured 10-20x
+    # slower); along the last axis the scan is sequential memory.
+    ends = np.cumsum(counts[nz])
+    starts = ends - counts[nz]
+    contrib = np.ascontiguousarray(bits_pm.T)[:, flat]     # (64, total)
+    # int32 in AND out: numpy's mixed-dtype cumsum (int32 data, int64
+    # accumulator) takes a buffered path measured 14x slower; +-1 sums
+    # over a batch's tokens can't overflow int32
+    cs = np.cumsum(contrib, axis=1, dtype=np.int32)
+    acc = cs[:, ends - 1]                                  # (64, len(nz))
+    m = starts > 0
+    acc[:, m] -= cs[:, starts[m] - 1]
+    bits = (acc > 0).astype(np.uint64).T                   # (len(nz), 64)
+    out[nz] = (bits << shifts[None, :]).sum(axis=1)
+    return out
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized 64-bit popcount (bitwise Hamming weight)."""
     if not len(x):
@@ -265,8 +314,7 @@ def simhash_pairs(ds: "ray.data.Dataset", max_hamming: int = 3,
         default_gc()
         texts = batch[text_col].to_pylist()
         n = len(texts)
-        s = np.fromiter((int(simhash64(t)) for t in texts),
-                        dtype=np.uint64, count=n)
+        s = simhash64_batch(texts)
         ids_np = batch[id_col].to_numpy(zero_copy_only=False)
         bkts = np.empty(4 * n, dtype=np.int64)
         for c in range(4):   # int64 bucket key: chunk value | chunk id

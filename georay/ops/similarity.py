@@ -38,10 +38,18 @@ def vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     n = len(arr)
     if n == 0:
         return np.empty((0, 0), dtype=np.float64)
-    if (pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type)
-            or pa.types.is_fixed_size_list(arr.type)):
+    if pa.types.is_fixed_size_list(arr.type):
         flat = arr.flatten().to_numpy(zero_copy_only=False)
-        if flat.size % n == 0:
+        return flat.astype(np.float64, copy=False).reshape(n, -1)
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        # uniform-length check via the offsets buffer: total-divisible-
+        # by-n is NOT enough (rows of length 2 and 4 would silently
+        # reshape into wrong rows), and nulls must fall through too
+        offs = arr.offsets.to_numpy(zero_copy_only=False)
+        widths = np.diff(offs)
+        if (arr.null_count == 0 and len(widths)
+                and (widths == widths[0]).all() and widths[0] > 0):
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
             return flat.astype(np.float64, copy=False).reshape(n, -1)
     return np.array(arr.to_pylist(), dtype=np.float64)  # ragged fallback
 
