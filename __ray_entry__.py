@@ -54,6 +54,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hex_rollup": e.q_geo_hex_rollup,
         "geo_hex_rollup_pipeline": e.q_geo_hex_rollup_pipeline,
         "geo_knn_rescue": e.q_geo_knn_rescue,
+        # round-3 content/structural oracles for the non-SQL pipelines
+        "geo_batch_match_content": e.q_geo_batch_match_content,
+        "geo_docs_match_content": e.q_geo_docs_match_content,
+        "geo_knn_rescue_struct": e.q_geo_knn_rescue_struct,
         # relational operator parity (testdata)
         "rel_groupby_agg": e.q_rel_groupby_agg,
         "rel_top1_per_key": e.q_rel_top1_per_key,
@@ -76,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ngram_jaccard": e.q_doc_ngram_jaccard,
         "emb_topk_brute": e.q_emb_topk_brute,
         "emb_topk_ivf": e.q_emb_topk_ivf,
+        "emb_topk_ivf_recall": e.q_emb_topk_ivf_recall,
         "emb_dup_pairs": e.q_emb_dup_pairs,
         "media_features": e.q_media_features,
         "media_frames": e.q_media_frames,

@@ -381,6 +381,189 @@ def q_geo_knn_rescue(sf_dir: str):
                               "knn_place_ids", "knn_streets", "knn_scores"])
 
 
+def _write_snapshot(ds_or_table, sf_dir: str, name: str) -> str:
+    """Write an engine result to a parquet snapshot under the synth dir
+    (the oracle SQL reads the same files for ROW SELECTION — the value
+    columns it emits are recomputed from the raw synth tables)."""
+    import shutil
+    snap = os.path.join(synth_dir(sf_dir), name)
+    shutil.rmtree(snap, ignore_errors=True)
+    if isinstance(ds_or_table, pa.Table):
+        os.makedirs(snap, exist_ok=True)
+        pq.write_table(ds_or_table, os.path.join(snap, "part0.parquet"))
+    else:
+        ds_or_table.write_parquet(snap)
+    return snap
+
+
+def q_geo_batch_match_content(sf_dir: str):
+    """CONTENT oracle for the full batch cascade's match assignments
+    (round-3: geo_batch_geocode itself is not SQL-expressible, but its
+    exact-match-eligible subset is): for every matched address whose
+    (normalized street, post_code) has a rank-26 gazetteer entry, the
+    pipeline's street-level place id must equal the SQL exact-match
+    lookup over the raw tables.  Rank-30 building matches resolve to
+    their street via the synth world's id rule (building place_id =
+    street_place_id * 1000 + house number — gazetteer.py details()).
+    The snapshot is used by the SQL side only to select WHICH addresses
+    were matched at ranks 26/30; the expected id is recomputed from the
+    gazetteer, so a wrong assignment hash-mismatches."""
+    from .pipeline import geocode_addresses
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "addresses.parquet"),
+        columns=[ADDR_KEY, STREET, HOUSENBR, POSTCODE, CITY, COUNTRY])
+    out = geocode_addresses(ds, spec=spec_for(sf_dir), concurrency=4,
+                            batch_size=1024)
+    match = out.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["status"], "match")),
+        batch_format="pyarrow").select_columns(
+        ["addr_key", "m_place_id", "m_place_rank", "street_name",
+         "post_code"])
+    snap = _write_snapshot(match, sf_dir, "batch_match_content_input")
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+
+    def project(batch: pa.Table) -> pa.Table:
+        idx = _exact_index(gaz_path)
+        aks: list[str] = []
+        pids: list[int] = []
+        for ak, pid, rank, st, pc in zip(
+                batch["addr_key"].to_pylist(),
+                batch["m_place_id"].to_pylist(),
+                batch["m_place_rank"].to_pylist(),
+                batch["street_name"].to_pylist(),
+                batch["post_code"].to_pylist()):
+            if rank not in (26, 30):
+                continue
+            if (normalize_street(st), pc) not in idx:
+                continue
+            aks.append(ak)
+            pids.append(int(pid) if rank == 26 else int(pid) // 1000)
+        return pa.table({"addr_key": pa.array(aks, pa.string()),
+                         "street_pid": pa.array(pids, pa.int64())})
+
+    return ray.data.read_parquet(snap).map_batches(
+        project, batch_format="pyarrow")
+
+
+def q_geo_docs_match_content(sf_dir: str):
+    """Same content oracle over the DOCUMENTS pipeline (span-level match
+    assignments): per (doc_id, span_idx) matched at rank 26/30 with an
+    exact-match-eligible parsed street, the street-level place id must
+    equal the SQL lookup recomputed from the raw gazetteer."""
+    d = ensure_synth(sf_dir)
+    out = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
+    match = out.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["status"], "match")),
+        batch_format="pyarrow").select_columns(
+        ["doc_id", "span_idx", "m_place_id", "m_place_rank",
+         "street_name", "post_code"])
+    snap = _write_snapshot(match, sf_dir, "docs_match_content_input")
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+
+    def project(batch: pa.Table) -> pa.Table:
+        idx = _exact_index(gaz_path)
+        docs: list[str] = []
+        spans: list[int] = []
+        pids: list[int] = []
+        for did, si, pid, rank, st, pc in zip(
+                batch["doc_id"].to_pylist(),
+                batch["span_idx"].to_pylist(),
+                batch["m_place_id"].to_pylist(),
+                batch["m_place_rank"].to_pylist(),
+                batch["street_name"].to_pylist(),
+                batch["post_code"].to_pylist()):
+            if rank not in (26, 30):
+                continue
+            if (normalize_street(st), pc) not in idx:
+                continue
+            docs.append(did)
+            spans.append(int(si))
+            pids.append(int(pid) if rank == 26 else int(pid) // 1000)
+        return pa.table({"doc_id": pa.array(docs, pa.string()),
+                         "span_idx": pa.array(spans, pa.int64()),
+                         "street_pid": pa.array(pids, pa.int64())})
+
+    return ray.data.read_parquet(snap).map_batches(
+        project, batch_format="pyarrow")
+
+
+def q_emb_topk_ivf_recall(sf_dir: str):
+    """Recall oracle for the IVF ANN path: per query, how many of the
+    IVF top-5 appear in the EXACT top-5.  The engine intersects its IVF
+    result with its own brute-force result; the SQL side intersects the
+    snapshotted IVF rows with a windowed exact top-5 it computes from
+    the raw embeddings — equal counts mean the IVF output is the one the
+    engine claims AND its recall vs ground truth is what the engine
+    reports.  (A recall >= 0.8 floor is asserted in pytest.)"""
+    ivf = q_emb_topk_ivf(sf_dir)
+    _write_snapshot(ivf, sf_dir, "ivf_topk_input")
+    brute = q_emb_topk_brute(sf_dir).to_pandas()
+    iv = ivf.to_pandas()
+    hits = iv.merge(brute, on=["query_id", "vec_id"]).groupby(
+        "query_id").size()
+    qids = sorted(iv["query_id"].unique())
+    return pa.table({
+        "query_id": pa.array([int(q) for q in qids], pa.int64()),
+        "n_hits": pa.array([int(hits.get(q, 0)) for q in qids],
+                           pa.int64())})
+
+
+def q_geo_knn_rescue_struct(sf_dir: str):
+    """Structural oracle for the kNN gazetteer rescue: every suggestion,
+    exploded to (addr_key, sugg_rank, place_id), must be a rank-26
+    street drawn from the address's postcode-prefix bucket when that
+    bucket exists (global fallback otherwise).  The engine emits its
+    CLAIM per row ('bucket:ok' / 'global:ok' from its own bucket
+    routing); the SQL side recomputes the verdict from the raw gazetteer
+    — an out-of-prefix or non-street suggestion surfaces as
+    'violated'."""
+    d = ensure_synth(sf_dir)
+    out = _geocode_documents_ds(sf_dir, with_tiles=False)
+    um = out.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["status"], "unmatched")),
+        batch_format="pyarrow").select_columns(
+        ["addr_key", "post_code", "knn_place_ids"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        aks: list[str] = []
+        pcs: list[str] = []
+        ranks: list[int] = []
+        pids: list[int] = []
+        for ak, pc, ids in zip(batch["addr_key"].to_pylist(),
+                               batch["post_code"].to_pylist(),
+                               batch["knn_place_ids"].to_pylist()):
+            for ri, pid in enumerate(ids or []):
+                aks.append(ak)
+                pcs.append(str(pc))
+                ranks.append(ri + 1)
+                pids.append(int(pid))
+        return pa.table({"addr_key": pa.array(aks, pa.string()),
+                         "post_code": pa.array(pcs, pa.string()),
+                         "sugg_rank": pa.array(ranks, pa.int64()),
+                         "place_id": pa.array(pids, pa.int64())})
+
+    exploded = um.map_batches(explode, batch_format="pyarrow")
+    snap = _write_snapshot(exploded, sf_dir, "knn_rescue_struct_input")
+
+    # engine-side claim: which scope the rescuer routed each query to
+    from .gazetteer import get_gazetteer
+    gaz = get_gazetteer(spec_for(sf_dir))
+    streets = gaz.places[gaz.places.place_rank == 26]
+    prefixes = set(streets["post_code"].astype(str).str[:2])
+
+    def claim(batch: pa.Table) -> pa.Table:
+        checks = ["bucket:ok" if str(pc)[:2] in prefixes else "global:ok"
+                  for pc in batch["post_code"].to_pylist()]
+        return pa.table({"addr_key": batch["addr_key"],
+                         "sugg_rank": batch["sugg_rank"],
+                         "place_id": batch["place_id"],
+                         "scope_check": pa.array(checks, pa.string())})
+
+    return ray.data.read_parquet(snap).map_batches(
+        claim, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # relational operator parity (testdata tables)
 
@@ -1118,6 +1301,70 @@ def build_oracle_sql() -> dict[str, str]:
                    as n
             from read_parquet('{s01}/media.parquet')
             where kind = 'video'""",
+        "geo_batch_match_content": f"""
+            with g as (
+                select {norm_name} k, post_code, min(place_id) pid
+                from {gaz} where place_rank = 26 and {norm_name} <> ''
+                group by 1, 2),
+            a as (select addr_key, {norm_street} k, post_code
+                  from {addrs}),
+            expct as (select a.addr_key, g.pid
+                      from a join g on a.k = g.k
+                                    and a.post_code = g.post_code),
+            snap as (select addr_key from read_parquet(
+                         '{s01}/batch_match_content_input/*.parquet')
+                     where m_place_rank in (26, 30))
+            select s.addr_key, e.pid as street_pid
+            from snap s join expct e using (addr_key)""",
+        "geo_docs_match_content": f"""
+            with g as (
+                select {norm_name} k, post_code, min(place_id) pid
+                from {gaz} where place_rank = 26 and {norm_name} <> ''
+                group by 1, 2),
+            snap as (select doc_id, span_idx,
+                            {_SQL_NORM.format(col="street_name")} k,
+                            post_code
+                     from read_parquet(
+                         '{s01}/docs_match_content_input/*.parquet')
+                     where m_place_rank in (26, 30))
+            select s.doc_id, cast(s.span_idx as bigint) as span_idx,
+                   g.pid as street_pid
+            from snap s join g on s.k = g.k
+                               and s.post_code = g.post_code""",
+        "emb_topk_ivf_recall": f"""
+            with q as (select vec_id qid, embedding qe from embeddings
+                       where vec_id < 5),
+            d as (select q.qid, e.vec_id,
+                         row_number() over (partition by q.qid order by
+                           list_cosine_similarity(q.qe, e.embedding) desc,
+                           e.vec_id asc) rnk
+                  from q, embeddings e),
+            snap as (select query_id, vec_id from read_parquet(
+                         '{s01}/ivf_topk_input/*.parquet')),
+            qs as (select distinct query_id from snap)
+            select qs.query_id,
+                   (select count(*) from snap s
+                    join d on d.qid = s.query_id and d.vec_id = s.vec_id
+                    where d.rnk <= 5 and s.query_id = qs.query_id)
+                   as n_hits
+            from qs""",
+        "geo_knn_rescue_struct": f"""
+            with streets as (select place_id, substr(post_code, 1, 2) p2
+                             from {gaz} where place_rank = 26),
+            prefixes as (select distinct p2 from streets),
+            snap as (select addr_key, post_code, sugg_rank, place_id
+                     from read_parquet(
+                         '{s01}/knn_rescue_struct_input/*.parquet'))
+            select s.addr_key, s.sugg_rank, s.place_id,
+                   case
+                     when st.place_id is null then 'violated'
+                     when exists (select 1 from prefixes p
+                                  where p.p2 = substr(s.post_code, 1, 2))
+                       then case when st.p2 = substr(s.post_code, 1, 2)
+                                 then 'bucket:ok' else 'violated' end
+                     else 'global:ok'
+                   end as scope_check
+            from snap s left join streets st using (place_id)""",
         "geo_exact_match": f"""
             with g as (
                 select {norm_name} k, post_code, min(place_id) place_id

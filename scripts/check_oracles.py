@@ -3,7 +3,9 @@ entry at sf0.01, run its oracle_sql in DuckDB with the testdata views
 registered, and compare row count, column names, and an order-insensitive
 value hash (column-name-sorted, row-sorted).  Usage:
 
-    python scripts/check_oracles.py [sf_dir]
+    python scripts/check_oracles.py [sf_dir] [query_name ...]
+
+With query names given, only those queries run (fast iteration).
 """
 
 from __future__ import annotations
@@ -43,6 +45,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -62,6 +65,8 @@ def main() -> int:
 
     failures = 0
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             got = canon(to_pandas(fn(sf_dir)))
