@@ -66,6 +66,22 @@ _INT_COLS = {M_OSM_ORDER, M_PLACE_RANK, M_PLACE_ID}
 _BOOL_COLS = {M_CLEANSED_HN}
 
 
+def _result_type(col: str) -> pa.DataType:
+    if col in _FLOAT_COLS:
+        return pa.float64()
+    if col in _INT_COLS:
+        return pa.int64()
+    if col in _BOOL_COLS:
+        return pa.bool_()
+    return pa.string()
+
+
+# canonical Arrow schema of the finalized cascade frame (RESULT_COLUMNS
+# order) — conversions to/from pandas at the batch boundary go through
+# this instead of per-column type inference
+RESULT_SCHEMA = pa.schema([(c, _result_type(c)) for c in RESULT_COLUMNS])
+
+
 def _coalesce_from_dict(addr: dict, keys: list[str]) -> str | None:
     for k in keys:
         v = addr.get(k)
@@ -746,28 +762,44 @@ class SpanCascadeGeocoder(CascadeGeocoder):
                    "offset", "is_address"]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        addr = df[df["is_address"]]
-        rest = df[~df["is_address"]]
+        """Arrow-native split: only address rows (≈30% of spans) enter
+        pandas, and only their 6 input columns — the heavy ``text``
+        passthrough column never leaves Arrow (the cascade's dominant
+        memory traffic was converting every span's text to Python objects
+        and back, plus two object-string merges, per batch)."""
+        import pyarrow.compute as pc
+        mask = batch["is_address"]
+        addr_tbl = batch.filter(mask)
+        rest_tbl = batch.filter(pc.invert(mask))
         parts = []
-        if addr.shape[0] > 0:
-            out = process_addresses_df(
-                addr.drop(columns=[c for c in self.PASSTHROUGH
-                                   if c not in (ADDR_KEY,)]),
-                self.gazetteer, self.parser, self.cfg)
-            out = out.merge(addr[[ADDR_KEY] + self.PASSTHROUGH],
-                            on=ADDR_KEY, how="left")
-            parts.append(out)
-        if rest.shape[0] > 0:
-            stub = _finalize(rest[[ADDR_KEY]].assign(
-                **{STATUS: "not_address"}), [])
-            stub = stub.merge(rest[[ADDR_KEY] + self.PASSTHROUGH],
-                              on=ADDR_KEY, how="left")
-            parts.append(stub)
-        if not parts:
-            out = _finalize(pd.DataFrame(columns=[ADDR_KEY]), [])
+        if addr_tbl.num_rows > 0:
+            addr_df = addr_tbl.select([ADDR_KEY] + INPUT_FIELDS).to_pandas()
+            out = process_addresses_df(addr_df, self.gazetteer,
+                                       self.parser, self.cfg)
+            res_tbl = pa.Table.from_pandas(out[list(RESULT_COLUMNS)],
+                                           schema=RESULT_SCHEMA,
+                                           preserve_index=False)
+            # passthrough re-attach: integer take on the Arrow side (the
+            # cascade emits >=1 row per addr_key; keys are batch-unique)
+            lookup = {k: i for i, k in enumerate(
+                addr_tbl[ADDR_KEY].to_pylist())}
+            idx = pa.array([lookup[k] for k in out[ADDR_KEY]], pa.int64())
+            cols = {c: res_tbl[c] for c in res_tbl.column_names}
             for c in self.PASSTHROUGH:
-                out[c] = []
-            return pa.Table.from_pandas(out, preserve_index=False)
-        res = pd.concat(parts, sort=False, ignore_index=True)
-        return pa.Table.from_pandas(res, preserve_index=False)
+                cols[c] = pc.take(addr_tbl[c], idx)
+            parts.append(pa.table(cols))
+        if rest_tbl.num_rows > 0 or not parts:
+            n = rest_tbl.num_rows
+            cols = {}
+            for col, default in RESULT_COLUMNS.items():
+                if col == ADDR_KEY:
+                    cols[col] = rest_tbl[ADDR_KEY]
+                elif col == STATUS:
+                    cols[col] = pa.repeat(pa.scalar("not_address"), n)
+                else:
+                    cols[col] = pa.repeat(
+                        pa.scalar(default, _result_type(col)), n)
+            for c in self.PASSTHROUGH:
+                cols[c] = rest_tbl[c]
+            parts.append(pa.table(cols))
+        return parts[0] if len(parts) == 1 else pa.concat_tables(parts)
