@@ -54,7 +54,9 @@ class Manifest:
 
 def run_resumable(shards: list[tuple[str, Callable[[], "ray.data.Dataset"]]],
                   out_dir: str,
-                  counters_fn: Callable[["ray.data.Dataset"], dict] | None = None
+                  counters_fn: Callable[["ray.data.Dataset"], dict] | None = None,
+                  step_stats_builders: dict[str, Callable[[], "ray.data.Dataset"]] | None = None,
+                  write_fn: Callable[["ray.data.Dataset", str], None] | None = None
                   ) -> Manifest:
     """Run each (partition_id, dataset_builder) shard to its own parquet
     partition directory, skipping shards the manifest already marks done.
@@ -62,6 +64,19 @@ def run_resumable(shards: list[tuple[str, Callable[[], "ray.data.Dataset"]]],
     ``counters_fn`` (optional) computes per-partition metric counters from
     the shard's output dataset (e.g. status counts) — stored in the
     lineage record.
+
+    ``step_stats_builders`` (optional) maps partition_id -> a builder of
+    that shard's per-cascade-step stats Dataset (``pipeline.step_stats``:
+    one row per step with todo/sent/match/reject counters and wall
+    seconds).  When given, each lineage record carries a ``step_stats``
+    list, so a resumed run's manifest shows where the time and the
+    matches went per partition.  The stats pass re-runs the cascade
+    memo-free (stats must reflect the real per-step flow, not cache
+    hits), roughly doubling shard cost — an audit-run option.
+
+    ``write_fn`` (optional) writes a Dataset to a directory path —
+    defaults to ``Dataset.write_parquet``; pass ``tables.write_table``
+    to route output through the Lance-or-Parquet table adapter.
 
     ``out_dir`` must be a LOCAL-filesystem path (or a mounted one): the
     crash-idempotent commit uses an atomic directory rename, which object
@@ -88,13 +103,23 @@ def run_resumable(shards: list[tuple[str, Callable[[], "ray.data.Dataset"]]],
             if os.path.exists(stale):
                 shutil.rmtree(stale)
         ds = build()
-        ds.write_parquet(part_tmp)
+        (write_fn or ray.data.Dataset.write_parquet)(ds, part_tmp)
         os.rename(part_tmp, part_dir)
         out = ray.data.read_parquet(part_dir)
         rows = out.count()
         counters = counters_fn(out) if counters_fn else {}
-        manifest.record(partition_id, rows=rows, seconds=round(time.time() - t0, 3),
-                        path=part_dir, counters=counters)
+        extra: dict = {}
+        stats_build = (step_stats_builders or {}).get(partition_id)
+        if stats_build is not None:
+            sdf = stats_build().to_pandas().sort_values("step")
+            extra["step_stats"] = [
+                {k: (round(float(v), 6) if k == "seconds" else
+                     v if isinstance(v, str) else int(v))
+                 for k, v in rec.items()}
+                for rec in sdf.to_dict("records")]
+        manifest.record(partition_id, rows=rows,
+                        seconds=round(time.time() - t0, 3),
+                        path=part_dir, counters=counters, **extra)
     return manifest
 
 

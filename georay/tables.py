@@ -18,10 +18,13 @@ except ImportError:
     HAVE_LANCE = False
 
 
-def read_documents(path: str, columns: list[str] | None = None
+def read_documents(path: str | list[str], columns: list[str] | None = None
                    ) -> "ray.data.Dataset":
-    """Read an interleaved-documents table (doc_id, spans)."""
-    if HAVE_LANCE:
+    """Read an interleaved-documents table (doc_id, spans).  ``path`` may
+    be a directory, a file, or a list of fragment paths (a Lance dataset
+    is a single rooted directory — fragment lists only apply to the
+    parquet fallback; shard a Lance table with its native fragment API)."""
+    if HAVE_LANCE and isinstance(path, str):
         ds = ray.data.read_lance(path, columns=columns)
         return ds
     return ray.data.read_parquet(path, columns=columns)
