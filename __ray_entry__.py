@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_batch_match_content": e.q_geo_batch_match_content,
         "geo_docs_match_content": e.q_geo_docs_match_content,
         "geo_knn_rescue_struct": e.q_geo_knn_rescue_struct,
+        "geo_pip_validate": e.q_geo_pip_validate,
         # relational operator parity (testdata)
         "rel_groupby_agg": e.q_rel_groupby_agg,
         "rel_top1_per_key": e.q_rel_top1_per_key,
@@ -78,7 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_pairs": e.q_doc_minhash_pairs,
         "doc_simhash_pairs": e.q_doc_simhash_pairs,
         "doc_ngram_jaccard": e.q_doc_ngram_jaccard,
+        "doc_curation": e.q_doc_curation,
         "emb_topk_brute": e.q_emb_topk_brute,
+        "emb_knn_graph": e.q_emb_knn_graph,
         "emb_topk_ivf": e.q_emb_topk_ivf,
         "emb_topk_ivf_recall": e.q_emb_topk_ivf_recall,
         "emb_dup_pairs": e.q_emb_dup_pairs,

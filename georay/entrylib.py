@@ -38,7 +38,7 @@ from .gazetteer import GazetteerSpec, build_gazetteer_tables
 from .textkernels import normalize_street
 
 # v2: adds media.parquet to the synthetic world (media_features oracle)
-SYNTH_ROOT = "/tmp/georay_synth_v2"
+SYNTH_ROOT = "/tmp/georay_synth_v3"  # v3: boundaries carry bnd_idx
 
 # sf name -> (n_docs, gazetteer scale factor)
 SF_SCALE = {"sf0.001": (100, 0.5), "sf0.01": (400, 1.0), "sf0.1": (2500, 1.5)}
@@ -76,6 +76,12 @@ def ensure_synth(sf_dir: str) -> str:
     places, boundaries = build_gazetteer_tables(spec)
     pq.write_table(pa.Table.from_pandas(places, preserve_index=False),
                    os.path.join(tmp, "gazetteer.parquet"))
+    # bnd_idx: explicit row index — the engine's PolygonIndex.locate
+    # returns the FIRST containing polygon in build order (hit points
+    # leave the undecided set), so the PIP oracle SQL needs a stable
+    # ordinal to replicate the tie-break for overlapping rings
+    boundaries = boundaries.reset_index(drop=True)
+    boundaries["bnd_idx"] = boundaries.index.astype("int64")
     bnd = pa.Table.from_pandas(boundaries, preserve_index=False)
     pq.write_table(bnd, os.path.join(tmp, "boundaries.parquet"))
     from .ops.multimodal import synth_media_batch
@@ -564,6 +570,37 @@ def q_geo_knn_rescue_struct(sf_dir: str):
         claim, batch_format="pyarrow")
 
 
+def q_geo_pip_validate(sf_dir: str):
+    """Point-in-polygon validation oracle (round 3): run the flat-address
+    cascade with the tile annotator, snapshot every matched row's
+    (addr_key, post_code, o_lat, o_lon, pip_ok); the SQL side re-derives
+    pip_ok from the raw boundary rings with the same even-odd ray cast
+    (verified bit-identical to geom.point_in_polygon over 12k sample
+    points) and the engine's first-containing tie-break (min bnd_idx —
+    PolygonIndex.locate clears hit points from its undecided set, so
+    the first containing polygon in build order wins).  A wrong pip bit
+    anywhere hash-mismatches."""
+    from .pipeline import geocode_addresses
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "addresses.parquet"),
+        columns=[ADDR_KEY, STREET, HOUSENBR, POSTCODE, CITY, COUNTRY])
+    out = geocode_addresses(ds, spec=spec_for(sf_dir), batch_size=1024)
+    match = out.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["status"], "match")),
+        batch_format="pyarrow").select_columns(
+        ["addr_key", "post_code", "o_lat", "o_lon", "pip_ok"])
+    snap = _write_snapshot(match, sf_dir, "pip_validate_input")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "addr_key": batch["addr_key"],
+            "pip_ok": pa.compute.cast(batch["pip_ok"], pa.int64())})
+
+    return ray.data.read_parquet(snap).map_batches(
+        project, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # relational operator parity (testdata tables)
 
@@ -969,6 +1006,65 @@ def q_doc_simhash_pairs(sf_dir: str):
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+def q_doc_curation(sf_dir: str):
+    """Training-data curation composite (round 3): content-hash exact
+    dedup (keeper = min doc_id), quality floor (>= 0.7), language ID,
+    then a per-language rollup of document and token counts — the
+    C4/Gopher-style curation chain as ONE streaming pipeline.  Exactly
+    one shuffle (the content-key dedup through ``grouped_map``); the
+    final rollup moves only per-batch partials (3 langs x blocks
+    rows).  Every kernel is individually SQL-oracled (doc_quality /
+    doc_langid / doc_dedup_exact / doc_token_stats); this query oracles
+    their COMPOSITION."""
+    from ray.data.aggregate import Sum
+
+    from .ops.text import LangId, content_md5, quality_score, token_stats
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        batch = content_md5(batch)
+        batch = quality_score(batch)
+        batch = token_stats(batch)
+        # map-side combine for the dedup shuffle: keep the min-doc_id
+        # row per content key within the batch
+        df = batch.to_pandas().sort_values("doc_id", kind="mergesort")
+        df = df.drop_duplicates("content_key")
+        return pa.Table.from_pandas(df[["doc_id", "text", "content_key",
+                                        "quality", "n_tokens"]],
+                                    preserve_index=False)
+
+    ann = ds.map_batches(annotate, batch_format="pyarrow")
+    kept = grouped_map(
+        ann, "content_key",
+        lambda df: df.sort_values("doc_id", kind="mergesort")
+                     .drop_duplicates("content_key"),
+        num_partitions=8, group_fn=False)
+    good = kept.map_batches(
+        lambda b: b.filter(pa.compute.greater_equal(b["quality"], 0.7)),
+        batch_format="pyarrow")
+    langed = good.map_batches(LangId, batch_format="pyarrow",
+                              concurrency=2)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby("lang_pred").agg(
+            n_docs=("doc_id", "size"),
+            total_tokens=("n_tokens", "sum")).reset_index()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (langed.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang_pred")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("total_tokens", alias_name="total_tokens")))
+    pdf = out.to_pandas()
+    return pa.table({
+        "lang_pred": pa.array(pdf["lang_pred"].astype(str), pa.string()),
+        "n_docs": pa.array(pdf["n_docs"].astype("int64"), pa.int64()),
+        "total_tokens": pa.array(pdf["total_tokens"].astype("int64"),
+                                 pa.int64())})
+
+
 def q_doc_ngram_jaccard(sf_dir: str):
     from .ops.dedup import ngram_jaccard_pairs
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -996,6 +1092,22 @@ def q_emb_topk_brute(sf_dir: str):
                                columns=["vec_id", "embedding"])
     out = topk_cosine_brute(ds, _first_queries(sf_dir), k=5).to_pandas()
     out = out[["query_id", "vec_id", "rank"]].rename(columns={"rank": "rnk"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_emb_knn_graph(sf_dir: str):
+    """All-pairs kNN graph (round 3): every vector's 3 nearest other
+    vectors by cosine, via the broadcast-reference blocked matmul
+    (ops/similarity.knn_graph).  Oracled against a SQL self-join window
+    — cosine-desc / id-asc tie-break on both sides."""
+    from .ops.similarity import knn_graph
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ref = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    ref = ref.sort_values("vec_id")
+    mat = np.array(ref["embedding"].tolist(), dtype=np.float64)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    out = knn_graph(ds, ref["vec_id"].to_numpy(), mat, k=3).to_pandas()
+    out = out[["src_id", "nbr_id", "rank"]].rename(columns={"rank": "rnk"})
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -1365,6 +1477,35 @@ def build_oracle_sql() -> dict[str, str]:
                      else 'global:ok'
                    end as scope_check
             from snap s left join streets st using (place_id)""",
+        "geo_pip_validate": f"""
+            with b as (select bnd_idx, post_code bpc, ring_lat, ring_lon
+                       from read_parquet('{s01}/boundaries.parquet')),
+            snap as (select addr_key, post_code, o_lat, o_lon
+                     from read_parquet(
+                         '{s01}/pip_validate_input/*.parquet')),
+            cont as (
+                select s.addr_key, s.post_code, b.bpc, b.bnd_idx,
+                       (list_sum([case
+                          when (case when ring_lat[i] > s.o_lat
+                                     then 1 else 0 end)
+                            <> (case when ring_lat[i+1] > s.o_lat
+                                     then 1 else 0 end)
+                           and ring_lat[i+1] <> ring_lat[i]
+                           and s.o_lon < (ring_lon[i+1]-ring_lon[i])
+                               * (s.o_lat-ring_lat[i])
+                               / (ring_lat[i+1]-ring_lat[i]) + ring_lon[i]
+                          then 1 else 0 end
+                          for i in range(1, len(ring_lat))]) % 2) = 1
+                       as inside
+                from snap s, b),
+            loc as (select addr_key, post_code,
+                           arg_min(bpc, bnd_idx)
+                               filter (where inside) as loc_pc
+                    from cont group by 1, 2)
+            select addr_key,
+                   case when loc_pc = post_code or post_code = ''
+                        then 1 else 0 end as pip_ok
+            from loc""",
         "geo_exact_match": f"""
             with g as (
                 select {norm_name} k, post_code, min(place_id) place_id
@@ -1485,6 +1626,36 @@ def build_oracle_sql() -> dict[str, str]:
                   from k)
             select doc_id, keeper_id from g
             where cnt > 1 and doc_id <> keeper_id""",
+        "doc_curation": rf"""
+            with k as (select doc_id, text, md5(text) ck from documents),
+            keep as (select doc_id, text from (
+                select doc_id, text,
+                       row_number() over (partition by ck
+                                          order by doc_id) rn
+                from k) where rn = 1),
+            q as (select doc_id, text,
+                    case when trim(text) = '' then 0
+                         else len(regexp_split_to_array(trim(text), '\s+'))
+                    end ntok,
+                    length(regexp_replace(text, '[\w\s]', '', 'g')) npunct,
+                    length(regexp_replace(text, '\s', '', 'g')) nchnw,
+                    length(text) nch
+                  from keep),
+            good as (select doc_id, text, cast(ntok as bigint) n_tokens
+                     from q
+                     where round(
+                         (case when ntok between 5 and 10000
+                               then 0.4 else 0.0 end)
+                       + (case when npunct < 0.2 * greatest(nch, 1)
+                               then 0.3 else 0.0 end)
+                       + (case when ntok > 0 and nchnw >= 3.0 * ntok
+                                   and nchnw <= 12.0 * ntok
+                               then 0.3 else 0.0 end), 3) >= 0.7),
+            l as (select * from ({_langid_sql("good")}) x)
+            select l.lang_pred, cast(count(*) as bigint) as n_docs,
+                   cast(sum(g.n_tokens) as bigint) as total_tokens
+            from good g join l using (doc_id)
+            group by 1""",
         "doc_token_stats": r"""
             select doc_id,
                    cast(case when trim(text) = '' then 0
@@ -1514,6 +1685,15 @@ def build_oracle_sql() -> dict[str, str]:
                                and nchnw <= 12.0 * ntok
                            then 0.3 else 0.0 end), 3) as quality
             from s""",
+        "emb_knn_graph": """
+            with d as (select a.vec_id src_id, b.vec_id nbr_id,
+                         row_number() over (partition by a.vec_id order by
+                           list_cosine_similarity(a.embedding, b.embedding)
+                             desc,
+                           b.vec_id asc) rnk
+                       from embeddings a join embeddings b
+                         on a.vec_id <> b.vec_id)
+            select src_id, nbr_id, rnk from d where rnk <= 3""",
         "emb_topk_brute": """
             with q as (select vec_id qid, embedding qe from embeddings
                        where vec_id < 5),

@@ -163,3 +163,58 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
     from ..shuffle import grouped_map
     return grouped_map(partials, "query_id", merge_partition,
                        num_partitions=16, group_fn=False)
+
+
+def knn_graph(ds: "ray.data.Dataset", ref_ids: np.ndarray,
+              ref_vecs: np.ndarray, k: int = 3, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> "ray.data.Dataset":
+    """All-pairs k-nearest-neighbor graph by cosine: for every row, its
+    ``k`` nearest OTHER reference vectors — the standard training-data
+    op behind near-dup clustering and diversity sampling.
+
+    Plan: the reference matrix is normalized once on the driver and
+    BROADCAST via ``ray.put`` (read worker-locally per task, never
+    re-shipped per batch); each streaming batch does one (b, n) matmul
+    and a vectorized per-row arg-partition.  No shuffle at all — each
+    row's neighbors are complete within its batch pass.
+
+    Partitioning assumption (documented per SURVEY §2 custom-operator
+    rule): the reference side must fit in the object store once
+    (~10M x 64 float32 = 2.5 GB); beyond that, swap the broadcast for
+    the IVF-bucketed path (``topk_cosine_ivf``) per reference shard."""
+    import ray
+
+    rn = _normalize(np.asarray(ref_vecs, dtype=np.float64))
+    ref = ray.put((np.asarray(ref_ids, dtype=np.int64), rn.T.copy()))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        default_gc()
+        ids_r, rnT = ray.get(ref)
+        v = vec_matrix(batch, vec_col)
+        out_src, out_nbr, out_cos, out_rank = [], [], [], []
+        if v.size:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            sim = _normalize(v) @ rnT                     # (b, n_ref)
+            # exclude self-matches by id, not by position (the batch is
+            # a subset of the reference in arbitrary order)
+            for bi in range(sim.shape[0]):
+                row = sim[bi]
+                self_mask = ids_r == ids[bi]
+                row = np.where(self_mask, -np.inf, row)
+                kk = min(k, len(row) - int(self_mask.sum()))
+                if kk <= 0:
+                    continue
+                part = np.argpartition(-row, kk - 1)[:kk]
+                # deterministic order: cosine desc, neighbor id asc
+                order = np.lexsort((ids_r[part], -row[part]))
+                for rank, ci in enumerate(part[order], start=1):
+                    out_src.append(int(ids[bi]))
+                    out_nbr.append(int(ids_r[ci]))
+                    out_cos.append(float(row[ci]))
+                    out_rank.append(rank)
+        return pa.table({"src_id": pa.array(out_src, pa.int64()),
+                         "nbr_id": pa.array(out_nbr, pa.int64()),
+                         "cosine": pa.array(out_cos, pa.float64()),
+                         "rank": pa.array(out_rank, pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow")

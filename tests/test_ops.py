@@ -242,3 +242,46 @@ def test_embedding_dup_pairs_hub_cap(ray_session):
                                 max_bucket=4).to_pandas()
     assert len(pairs) == 9            # not C(10,2) = 45
     assert (pairs["id_a"] == 0).all()  # hub = minimum id
+
+
+def test_knn_graph_matches_numpy(embeds):
+    from georay.ops.similarity import knn_graph
+    pdf = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    pdf = pdf.sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    got = knn_graph(embeds, ids, mat, k=3).to_pandas()
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = mn @ mn.T
+    np.fill_diagonal(sim, -np.inf)
+    assert len(got) == 3 * len(ids)
+    for probe in (0, len(ids) // 2, len(ids) - 1):
+        order = np.lexsort((ids, -sim[probe]))[:3]
+        exp = ids[order].tolist()
+        g = got[got["src_id"] == ids[probe]].sort_values("rank")
+        assert g["nbr_id"].tolist() == exp
+        assert (g["nbr_id"] != ids[probe]).all()  # no self edges
+
+
+def test_doc_curation_composition(ray_session):
+    """The curation composite equals its kernels composed independently."""
+    from georay.entrylib import q_doc_curation
+    out = q_doc_curation(SF).to_pandas().set_index("lang_pred")
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    keep = docs.loc[docs.groupby(docs["text"].map(
+        lambda t: __import__("hashlib").md5(
+            (t or "").encode()).hexdigest()))["doc_id"].idxmin()]
+    import pyarrow as pa
+    kept_t = pa.Table.from_pandas(keep[["doc_id", "text"]],
+                                  preserve_index=False)
+    q = quality_score(kept_t).to_pandas()
+    good = keep[q["quality"].to_numpy() >= 0.7]
+    good_t = pa.Table.from_pandas(good[["doc_id", "text"]],
+                                  preserve_index=False)
+    lang = LangId()(good_t).to_pandas()
+    toks = token_stats(good_t).to_pandas()
+    ref = pd.DataFrame({"lang_pred": lang["lang_pred"],
+                        "n_tokens": toks["n_tokens"]}).groupby(
+        "lang_pred").agg(n_docs=("n_tokens", "size"),
+                         total_tokens=("n_tokens", "sum"))
+    assert out.sort_index().to_dict() == ref.sort_index().to_dict()
