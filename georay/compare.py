@@ -168,8 +168,23 @@ def postcode_similarity(s1: str, s2: str) -> float:
 def _map_pairs(a: pd.Series, b: pd.Series, fn) -> np.ndarray:
     av = a.fillna("").astype(str).to_numpy()
     bv = b.fillna("").astype(str).to_numpy()
+    n = len(av)
+    if n > 64:
+        # candidate explosion repeats the same (candidate, input) string
+        # pair many times per batch: compute fn once per DISTINCT pair
+        # (C-level factorize hashing) instead of a Python call — even a
+        # cached call pays tuple-hash + dict probe per row
+        ca, ua = pd.factorize(av)
+        cb, ub = pd.factorize(bv)
+        width = len(ub)
+        pair = ca.astype(np.int64) * width + cb
+        pc_, pu = pd.factorize(pair)
+        vals = np.fromiter(
+            (fn(ua[p // width], ub[p % width]) for p in pu),
+            dtype=np.float64, count=len(pu))
+        return vals[pc_]
     return np.fromiter((fn(x, y) for x, y in zip(av, bv)),
-                       dtype=np.float64, count=len(av))
+                       dtype=np.float64, count=n)
 
 
 def keep_bests(df: pd.DataFrame,
@@ -225,10 +240,18 @@ def keep_bests(df: pd.DataFrame,
     rejected = df[eliminate].copy()
     rejected[M_REJECT_REASON] = "mismatch"
 
-    result = df[~eliminate].sort_values(
-        [ADDR_KEY, C_SIM_STREET, C_SIM_HOUSENBR, secondary_sort_col],
+    result = df[~eliminate].copy()
+    # sort on factorize(sort=True) codes: identical order to sorting the
+    # object-string ADDR_KEY itself (codes are rank-in-sorted-uniques)
+    # at integer-compare cost instead of per-comparison string compares
+    result["_akc"], _ = pd.factorize(result[ADDR_KEY].to_numpy(),
+                                     sort=True)
+    result = result.sort_values(
+        ["_akc", C_SIM_STREET, C_SIM_HOUSENBR, secondary_sort_col],
         ascending=[True, False, False, True], kind="mergesort")
-    head = result.groupby(ADDR_KEY, sort=False).head(max_res)
+    head = result.groupby("_akc", sort=False).head(max_res)
+    result = result.drop(columns=["_akc"])
+    head = head.drop(columns=["_akc"])
     tail = result[~result.index.isin(head.index)].copy()
     tail[M_REJECT_REASON] = "tail"
 
