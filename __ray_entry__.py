@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": e.q_doc_quality,
         "doc_langid": e.q_doc_langid,
         "doc_fingerprint": e.q_doc_fingerprint,
+        "doc_vocab_topk": e.q_doc_vocab_topk,
+        "doc_sample_per_lang": e.q_doc_sample_per_lang,
         "doc_minhash_pairs": e.q_doc_minhash_pairs,
         "doc_simhash_pairs": e.q_doc_simhash_pairs,
         "doc_ngram_jaccard": e.q_doc_ngram_jaccard,

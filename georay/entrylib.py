@@ -983,6 +983,27 @@ def q_doc_fingerprint(sf_dir: str):
     return out.select_columns(["doc_id", "fingerprint"])
 
 
+def q_doc_vocab_topk(sf_dir: str, k: int = 50):
+    """Corpus top-k vocabulary via map-side combine (ONE (token, n) row
+    per distinct token per batch) -> small groupby -> partial-top-k
+    merge; ties at the cut resolved by (n desc, token asc) on both
+    sides so the hash compare is deterministic."""
+    from .ops.text import vocab_topk
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return vocab_topk(ds, k=k)
+
+
+def q_doc_sample_per_lang(sf_dir: str, k: int = 5):
+    """Deterministic stratified sample: k docs per language by smallest
+    md5(doc_id) — content-addressed (same sample on any cluster
+    topology / rerun), no RNG state, exactly SQL-replicable."""
+    from .ops.sample import deterministic_sample_per_key
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "lang"])
+    return deterministic_sample_per_key(ds, "lang", "doc_id", k)
+
+
 def q_doc_minhash_pairs(sf_dir: str):
     from .ops.dedup import minhash_lsh_pairs
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -1656,6 +1677,19 @@ def build_oracle_sql() -> dict[str, str]:
                    cast(sum(g.n_tokens) as bigint) as total_tokens
             from good g join l using (doc_id)
             group by 1""",
+        "doc_vocab_topk": r"""
+            with toks as (
+              select lower(u.tok) as token
+              from documents, unnest(regexp_extract_all(text, '\w+')) u(tok))
+            select token, cast(count(*) as bigint) as n
+            from toks group by token
+            order by n desc, token limit 50""",
+        "doc_sample_per_lang": r"""
+            select lang, doc_id from (
+              select lang, doc_id,
+                     row_number() over (partition by lang
+                       order by md5(cast(doc_id as varchar)), doc_id) rn
+              from documents) t where rn <= 5""",
         "doc_token_stats": r"""
             select doc_id,
                    cast(case when trim(text) = '' then 0

@@ -1,0 +1,48 @@
+"""Deterministic sampling operators for training-data curation.
+
+At 100 TB, RNG-based sampling is irreproducible across reruns, cluster
+sizes and partial failures; content-addressed sampling (order by a hash
+of the stable row id) gives the same sample for the same input on any
+topology, and is exactly SQL-replicable (``ORDER BY md5(id)``) for the
+oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+
+
+def _md5_str(v) -> str:
+    return hashlib.md5(str(v).encode("utf-8")).hexdigest()
+
+
+def deterministic_sample_per_key(ds, key_col: str, id_col: str,
+                                 k: int) -> pa.Table:
+    """Stratified sample: the ``k`` rows with the smallest
+    ``md5(str(id))`` per key (ties broken by id) — a reproducible
+    per-stratum sample with no RNG state.
+
+    Plan (no shuffle): per-batch partial top-k per key inside
+    ``map_batches`` — each task emits at most (keys-in-batch x k) rows —
+    then one driver merge bounded by keys x blocks x k.  The same
+    partial-then-merge shape as the global top-k operator; with many
+    strata swap the driver merge for a keyed groupby."""
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, id_col]).to_pandas()
+        df["_h"] = [_md5_str(v) for v in df[id_col]]
+        df = df.sort_values(["_h", id_col], kind="mergesort")
+        df = df.groupby(key_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         id_col: pa.array([], pa.int64())})
+    final = (parts.sort_values(["_h", id_col], kind="mergesort")
+             .groupby(key_col, sort=False).head(k))
+    final = final.sort_values([key_col, "_h"], kind="mergesort")
+    return pa.Table.from_pandas(final[[key_col, id_col]],
+                                preserve_index=False)

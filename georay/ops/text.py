@@ -157,3 +157,48 @@ class LangId:
         out = out.append_column("lang_conf", pa.array(confs, pa.float64()))
         return out.append_column("lang_conf_bp",
                                  pa.array(conf_bp, pa.int64()))
+
+
+_WORD = re.compile(r"\w+", re.ASCII)  # RE2-\w parity for the SQL oracle
+
+
+def vocab_partial_counts(batch: pa.Table, text_col: str = "text"
+                         ) -> pa.Table:
+    """Map-side combiner for corpus vocabulary building: ONE (token, n)
+    row per distinct token per batch — occurrences collapse inside the
+    task, so the downstream groupby shuffles vocabulary-sized partials
+    instead of token-stream-sized rows (the standard wordcount combine;
+    at 100 TB the shuffle is bounded by distinct-tokens x blocks)."""
+    counts: dict[str, int] = {}
+    for t in batch[text_col].to_pylist():
+        for tok in _WORD.findall((t or "").lower()):
+            counts[tok] = counts.get(tok, 0) + 1
+    toks = sorted(counts)
+    return pa.table({"token": pa.array(toks, pa.string()),
+                     "n": pa.array([counts[t] for t in toks], pa.int64())})
+
+
+def vocab_topk(ds, k: int = 50, text_col: str = "text") -> pa.Table:
+    """Corpus top-k vocabulary (TF-IDF/tokenizer-training precursor):
+    per-batch partial counts (combiner above) -> one small groupby over
+    the partials -> global top-k by (count desc, token asc) WITHOUT a
+    global sort: per-batch partial top-k then a tiny driver merge over
+    (k x blocks) rows, mirroring rel_topk_global."""
+    import pandas as pd
+
+    parts = ds.map_batches(
+        lambda b: vocab_partial_counts(b, text_col),
+        batch_format="pyarrow")
+    summed = parts.groupby("token").sum("n")
+
+    def part_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["sum(n)", "token"], ascending=[False, True],
+            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tops = summed.map_batches(part_top, batch_format="pyarrow").to_pandas()
+    top = tops.sort_values(["sum(n)", "token"], ascending=[False, True],
+                           kind="mergesort").head(k)
+    return pa.table({"token": pa.array(top["token"], pa.string()),
+                     "n": pa.array(top["sum(n)"].to_numpy(), pa.int64())})

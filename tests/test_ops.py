@@ -285,3 +285,40 @@ def test_doc_curation_composition(ray_session):
         "lang_pred").agg(n_docs=("n_tokens", "size"),
                          total_tokens=("n_tokens", "sum"))
     assert out.sort_index().to_dict() == ref.sort_index().to_dict()
+
+
+def test_vocab_topk_matches_duckdb(ray_session, docs):
+    from georay.ops.text import vocab_topk
+    got = vocab_topk(docs, k=20).to_pandas()
+    ref = duckdb.sql(f"""
+        with toks as (select lower(u.tok) as token
+          from read_parquet('{SF}/documents.parquet'),
+               unnest(regexp_extract_all(text, '\\w+')) u(tok))
+        select token, cast(count(*) as bigint) n from toks
+        group by token order by n desc, token limit 20""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
+
+
+def test_vocab_partial_is_a_combiner():
+    """Partial output rows are DISTINCT tokens, not occurrences."""
+    import pyarrow as pa
+    from georay.ops.text import vocab_partial_counts
+    b = pa.table({"text": ["a a a b", "b c"]})
+    out = vocab_partial_counts(b).to_pandas()
+    assert sorted(out["token"]) == ["a", "b", "c"]
+    assert dict(zip(out["token"], out["n"])) == {"a": 3, "b": 2, "c": 1}
+
+
+def test_sample_per_key_deterministic(ray_session, docs):
+    from georay.ops.sample import deterministic_sample_per_key
+    got = deterministic_sample_per_key(docs, "lang", "doc_id", 3).to_pandas()
+    ref = duckdb.sql(f"""
+        select lang, doc_id from (
+          select lang, doc_id, row_number() over (partition by lang
+            order by md5(cast(doc_id as varchar)), doc_id) rn
+          from read_parquet('{SF}/documents.parquet')) t where rn <= 3""").df()
+    key = lambda d: sorted(map(tuple, d[["lang", "doc_id"]].to_numpy()))
+    assert key(got) == key(ref)
+    # rerun -> identical sample (content-addressed, no RNG)
+    again = deterministic_sample_per_key(docs, "lang", "doc_id", 3).to_pandas()
+    assert key(again) == key(got)
