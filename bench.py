@@ -178,9 +178,18 @@ def run_bench() -> dict:
         # map_batches is unchanged.
         docs = ray.data.read_parquet(
             corpus_dir, override_num_blocks=max(64, num_cpus * 6))
+        # memo_on=False (the --scaling harness) disables BOTH the result
+        # memo and the per-address component memos: every per-worker
+        # cache's hit rate depends on that worker's SHARE of a toy-sized
+        # corpus (a 2-CPU worker sees 16x more repeats than a 32-CPU
+        # worker), biasing N-vs-4N; with memos off, work-per-doc is
+        # topology-independent and the ladder is a conservative lower
+        # bound (production Zipf streams give every worker cache hits
+        # regardless of cluster size).
         res = geocode_documents(docs, spec=spec,
                                 cfg=PipelineConfig(with_rejected=False,
-                                                   with_cascade_memo=memo_on),
+                                                   with_cascade_memo=memo_on,
+                                                   with_worker_memos=memo_on),
                                 concurrency=cascade_conc, batch_size=1024)
         match = res.map_batches(
             lambda b: b.filter(pc.equal(b["status"], "match")),

@@ -153,6 +153,7 @@ def _explode_candidates(uniq_addrs: list[str], gazetteer, cfg: PipelineConfig
     documents), so across batches most addresses are repeats — the
     geocode + dict shaping then collapses to a dict hit.  Shared row
     dicts are read-only downstream (DataFrame construction copies)."""
+    use_memo = cfg.with_worker_memos
     memo = getattr(gazetteer, "_explode_memo", None)
     if memo is None:
         memo = gazetteer._explode_memo = {}
@@ -160,12 +161,13 @@ def _explode_candidates(uniq_addrs: list[str], gazetteer, cfg: PipelineConfig
     key_tail = (cfg.max_results, cfg.check_results, wj)
     rows = []
     for addr in uniq_addrs:
-        hit = memo.get((addr, key_tail))
+        hit = memo.get((addr, key_tail)) if use_memo else None
         if hit is None:
             results = gazetteer.search(addr, limit=cfg.max_results,
-                                       namedetails=cfg.check_results)
+                                       namedetails=cfg.check_results,
+                                       use_cache=use_memo)
             hit = _shape_candidates(addr, results, with_json=wj)
-            if len(memo) < (1 << 17):
+            if use_memo and len(memo) < (1 << 17):
                 memo[(addr, key_tail)] = hit
         rows.extend(hit)
     cols = (["candidate_json"] if wj else []) + _CAND_COLS
@@ -240,7 +242,8 @@ def _structured_candidates(sent: pd.DataFrame, gazetteer,
             street=getattr(row, STREET), housenumber=getattr(row, HOUSENBR),
             postcode=getattr(row, POSTCODE), city=getattr(row, CITY),
             country=getattr(row, COUNTRY), limit=cfg.max_results,
-            namedetails=cfg.check_results)
+            namedetails=cfg.check_results,
+            use_cache=cfg.with_worker_memos)
         frames.append((getattr(row, M_TRANSFORMED), results))
     rows = []
     wj = cfg.with_candidate_json
@@ -643,6 +646,7 @@ class CascadeGeocoder:
         self.cfg = cfg or PipelineConfig()
         self.gazetteer = get_gazetteer(self.spec)
         self.parser = AddressParser()
+        self.parser.memo_enabled = self.cfg.with_worker_memos
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

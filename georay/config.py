@@ -148,6 +148,16 @@ class PipelineConfig:
     with_cascade_memo: bool = True     # per-worker full-cascade result
                                        # memo keyed on the 5 input
                                        # fields (cascade.py rationale)
+    with_worker_memos: bool = True     # per-ADDRESS component memos
+                                       # (shaped-candidate / photon /
+                                       # gazetteer candidate+result /
+                                       # parser caches).  Off = every
+                                       # row pays the full probe: used
+                                       # by the cache-neutral scaling
+                                       # ladder, where per-worker hit
+                                       # rates depend on each worker's
+                                       # SHARE of a toy corpus and bias
+                                       # the N-vs-4N comparison.
     with_rejected: bool = True     # REST default is false for batch
                                    # (nominatimwrapper withRejected);
                                    # True keeps full reject rows

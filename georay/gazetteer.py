@@ -290,14 +290,15 @@ class Gazetteer:
                     place_rank=30, _house_number=str(hn))
 
     # -- result shaping ----------------------------------------------------
-    def _to_result_cached(self, rec: dict, namedetails: bool) -> dict:
+    def _to_result_cached(self, rec: dict, namedetails: bool,
+                          use_cache: bool = True) -> dict:
         """Memoized result shaping keyed by place id (callers must not
         mutate the returned dict — the cascade only reads it)."""
         key = (rec["place_id"], namedetails)
-        hit = self._result_cache.get(key)
+        hit = self._result_cache.get(key) if use_cache else None
         if hit is None:
             hit = self._to_result(rec, namedetails)
-            if len(self._result_cache) < (1 << 17):
+            if use_cache and len(self._result_cache) < (1 << 17):
                 self._result_cache[key] = hit
         return hit
 
@@ -339,7 +340,8 @@ class Gazetteer:
 
     # -- lookups -----------------------------------------------------------
     def _street_candidates(self, street: str, postcode: str, city: str,
-                           limit: int, fuzzy: bool = True
+                           limit: int, fuzzy: bool = True,
+                           use_cache: bool = True
                            ) -> list[tuple[float, int]]:
         """(score, street place_id) candidates: exact name hits, plus — only
         when ``fuzzy`` (the Photon path; Nominatim-style ``search`` is
@@ -347,7 +349,7 @@ class Gazetteer:
         are memoized per (street, pc, city) — Zipf-skewed corpora repeat
         queries heavily."""
         ck = (street, postcode, city, limit, fuzzy)
-        hit = self._cand_cache.get(ck)
+        hit = self._cand_cache.get(ck) if use_cache else None
         if hit is not None:
             return hit
         keys = []
@@ -400,27 +402,30 @@ class Gazetteer:
                     out[pid] = max(out.get(pid, 0.0), best)
         ranked = sorted(((s, pid) for pid, s in out.items()),
                         key=lambda t: (-t[0], t[1]))[:limit]
-        if len(self._cand_cache) < (1 << 16):
+        if use_cache and len(self._cand_cache) < (1 << 16):
             self._cand_cache[ck] = ranked
         return ranked
 
     def search_structured(self, street: str = "", housenumber: str = "",
                           postcode: str = "", city: str = "", country: str = "",
-                          limit: int = 50, namedetails: bool = False) -> list[dict]:
+                          limit: int = 50, namedetails: bool = False,
+                          use_cache: bool = True) -> list[dict]:
         """Candidate list, deterministic order (score desc, place_id asc) —
         the engine's ``get_osm_struct`` (base.py:117-173)."""
         street = (street or "").strip()
         results: list[dict] = []
         if street:
             cands = self._street_candidates(street, postcode, city, limit,
-                                            fuzzy=False)
+                                            fuzzy=False, use_cache=use_cache)
             for score, pid in cands:
                 rec = self.by_id[pid]
                 b = self.building_for(rec, housenumber) if housenumber else None
                 if b is not None:
-                    results.append(self._to_result_cached(b, namedetails))
+                    results.append(self._to_result_cached(
+                        b, namedetails, use_cache=use_cache))
                 else:
-                    results.append(self._to_result_cached(rec, namedetails))
+                    results.append(self._to_result_cached(
+                        rec, namedetails, use_cache=use_cache))
                 if len(results) >= limit:
                     break
         else:
@@ -434,18 +439,23 @@ class Gazetteer:
                 if cityn and cityn in self.city_by_name:
                     pid = self.city_by_name[cityn]
             if pid is not None:
-                results.append(self._to_result_cached(self.by_id[pid], namedetails))
+                results.append(self._to_result_cached(
+                    self.by_id[pid], namedetails, use_cache=use_cache))
         return results
 
-    def parse_free_text(self, q: str) -> dict[str, str]:
+    def parse_free_text(self, q: str, use_cache: bool = True) -> dict[str, str]:
+        if not use_cache:
+            return parse_free_text.__wrapped__(q)
         return parse_free_text(q)
 
-    def search(self, q: str, limit: int = 50, namedetails: bool = False) -> list[dict]:
-        parts = self.parse_free_text(q)
+    def search(self, q: str, limit: int = 50, namedetails: bool = False,
+               use_cache: bool = True) -> list[dict]:
+        parts = self.parse_free_text(q, use_cache=use_cache)
         return self.search_structured(parts["street"], parts["housenumber"],
                                       parts["postcode"], parts["city"],
                                       parts["country"], limit=limit,
-                                      namedetails=namedetails)
+                                      namedetails=namedetails,
+                                      use_cache=use_cache)
 
     def details(self, place_id: int) -> dict:
         """Parent/name details; unknown id -> error record
@@ -472,16 +482,19 @@ class Gazetteer:
                 "parent_place_id": int(rec["parent_place_id"]),
                 "category": rec["category"], "names": names}
 
-    def fuzzy(self, q: str, limit: int = 20) -> dict:
+    def fuzzy(self, q: str, limit: int = 20,
+              use_cache: bool = True) -> dict:
         """Photon analogue: GeoJSON-ish FeatureCollection with properties
         street/postcode/city/country/name, stable candidate order."""
-        parts = self.parse_free_text(q)
+        parts = self.parse_free_text(q, use_cache=use_cache)
         street = parts["street"] or q
         cands = self._street_candidates(street, parts["postcode"],
-                                        parts["city"], limit)
+                                        parts["city"], limit,
+                                        use_cache=use_cache)
         if not cands:
             # retry without location filter
-            cands = self._street_candidates(street, "", "", limit)
+            cands = self._street_candidates(street, "", "", limit,
+                                            use_cache=use_cache)
         features = []
         for score, pid in cands:
             rec = self.by_id[pid]

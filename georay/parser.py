@@ -40,6 +40,8 @@ class AddressParser:
         """Return [(value, label)] pairs, lowercased values like libpostal."""
         if not text:
             return []
+        if not getattr(self, "memo_enabled", True):
+            return self._parse_uncached(str(text))
         memo = getattr(self, "_memo", None)
         if memo is None:
             memo = self._memo = {}

@@ -129,7 +129,8 @@ def libpostal_transformer(df: pd.DataFrame, parser, check_results: bool,
 
 
 def photon_transformer(df: pd.DataFrame, gazetteer, check_results: bool,
-                       threshold: float) -> pd.DataFrame:
+                       threshold: float, use_memo: bool = True
+                       ) -> pd.DataFrame:
     """Fuzzy-index rewrite of the street/city/postcode fields, keeping the
     INPUT house number (transformers.py:233).  Dedupes the query string
     before hitting the index (transformers.py:160)."""
@@ -147,16 +148,16 @@ def photon_transformer(df: pd.DataFrame, gazetteer, check_results: bool,
         memo = gazetteer._photon_memo = {}
     rows = []
     for q in uniq["ph_full"]:
-        hit = memo.get(q)
+        hit = memo.get(q) if use_memo else None
         if hit is None:
-            feats = gazetteer.fuzzy(q).get("features", [])
+            feats = gazetteer.fuzzy(q, use_cache=use_memo).get("features", [])
             hit = []
             for order, f in enumerate(feats):
                 p = f.get("properties", {})
                 street = p.get("street") or p.get("name") or ""
                 hit.append((q, street, p.get("postcode", ""),
                             p.get("city", ""), p.get("country", ""), order))
-            if len(memo) < (1 << 17):
+            if use_memo and len(memo) < (1 << 17):
                 memo[q] = hit
         rows.extend(hit)
     if not rows:
@@ -220,7 +221,8 @@ def apply_transformers(df: pd.DataFrame, transformers: list[str],
                                         cfg.similarity_threshold)
         elif t == "photon":
             cur = photon_transformer(cur, gazetteer, cfg.photon_check_results,
-                                     cfg.similarity_threshold)
+                                     cfg.similarity_threshold,
+                                     use_memo=cfg.with_worker_memos)
         elif t in TRANSFORMER_REGISTRY:
             cur = TRANSFORMER_REGISTRY[t](cur, parser, gazetteer, cfg)
         else:

@@ -255,3 +255,48 @@ def test_cascade_memo_duplicate_addr_key_different_tuples():
     assert len(matches) == 2               # one per distinct tuple
     assert set(matches["street_name"]) == set(st["name"])
     assert (out[ADDR_KEY] == "same_key").all()
+
+
+def test_worker_memos_off_identical():
+    """with_worker_memos=False (cache-neutral scaling mode) must yield
+    byte-identical cascade output: every per-address component memo
+    (shaped-candidate explode, photon features, gazetteer candidate /
+    result caches, parser memo, free-text parse cache) is a pure
+    memoization, so disabling them changes cost only."""
+    import pandas as pd
+
+    from georay.cascade import process_addresses_df
+    from georay.config import ADDR_KEY, PipelineConfig
+    from georay.gazetteer import GazetteerSpec, get_gazetteer
+    from georay.parser import AddressParser
+
+    gaz = get_gazetteer(GazetteerSpec())
+    parser = AddressParser()
+    st = gaz.places[gaz.places.place_rank == 26].head(5)
+    rows = []
+    for i, (_, s) in enumerate(st.iterrows()):
+        rows.append({ADDR_KEY: f"w{i}", "street_name": s["name"],
+                     "house_number": "4", "post_code": s["post_code"],
+                     "post_name": s["post_name"],
+                     "country_name": "Belgium"})
+        rows.append({ADDR_KEY: f"w{i}t", "street_name": s["name"][:-1] + "x",
+                     "house_number": "999", "post_code": s["post_code"],
+                     "post_name": s["post_name"],
+                     "country_name": "Belgium"})  # typo path: fuzzy probes
+    df = pd.DataFrame(rows)
+    on = PipelineConfig(with_cascade_memo=False, with_worker_memos=True)
+    off = PipelineConfig(with_cascade_memo=False, with_worker_memos=False)
+
+    def canon(out):
+        return (out.sort_values([ADDR_KEY, "status", "m_place_id"])
+                .reset_index(drop=True)
+                .sort_index(axis=1))
+
+    a = canon(process_addresses_df(df, gaz, parser, on))
+    # run the memo-on path TWICE so caches are warm, then compare off
+    a2 = canon(process_addresses_df(df, gaz, parser, on))
+    p_off = AddressParser()
+    p_off.memo_enabled = False
+    b = canon(process_addresses_df(df, gaz, p_off, off))
+    pd.testing.assert_frame_equal(a, a2)
+    pd.testing.assert_frame_equal(a, b)
