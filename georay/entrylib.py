@@ -379,12 +379,53 @@ def q_geo_match_singleton(sf_dir: str):
 
 
 def q_geo_knn_rescue(sf_dir: str):
+    """CONTENT oracle for the kNN gazetteer rescue (round 3 closes the
+    last structural-only gap): the trigram prefilter is a PERF knob, so
+    this query runs the rescuer in EXACT mode (prefilter >= any bucket)
+    and DuckDB recomputes every suggestion from the raw gazetteer —
+    ``_SQL_NORM`` normalization, postcode-prefix bucket routing with
+    global fallback, score = 0.5*JW + 0.5*(1 - levenshtein/max(len)) on
+    token-sorted forms (JW rebuilt from ``jaro_similarity`` plus the
+    engine's unconditional common-prefix Winkler boost; the token leg is
+    plain Levenshtein precisely so DuckDB's builtin reproduces it), and
+    top-3 by (score desc, street place_id asc).  The snapshot carries
+    ROW SELECTION only (which addresses the cascade left unmatched, with
+    their raw street/postcode); a wrong suggested place_id or rank
+    hash-mismatches.  The production prefilter path stays covered by
+    geo_knn_rescue_struct + pytest recall tests."""
+    from .knn import KnnRescuer
     out = _geocode_documents_ds(sf_dir, with_tiles=False)
     um = out.map_batches(
         lambda b: b.filter(pa.compute.equal(b["status"], "unmatched")),
-        batch_format="pyarrow")
-    return um.select_columns(["addr_key", "street_name", "post_code",
-                              "knn_place_ids", "knn_streets", "knn_scores"])
+        batch_format="pyarrow").select_columns(
+        ["addr_key", "street_name", "post_code", "status"])
+    snap = _write_snapshot(um, sf_dir, "knn_rescue_input")
+    spec = spec_for(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        aks: list[str] = []
+        ranks: list[int] = []
+        pids: list[int] = []
+        names: list[str] = []
+        for ak, ids, sts in zip(batch["addr_key"].to_pylist(),
+                                batch["knn_place_ids"].to_pylist(),
+                                batch["knn_streets"].to_pylist()):
+            for ri, (pid, st) in enumerate(zip(ids or [], sts or [])):
+                aks.append(ak)
+                ranks.append(ri + 1)
+                pids.append(int(pid))
+                names.append(str(st))
+        return pa.table({"addr_key": pa.array(aks, pa.string()),
+                         "sugg_rank": pa.array(ranks, pa.int64()),
+                         "place_id": pa.array(pids, pa.int64()),
+                         "street_sugg": pa.array(names, pa.string())})
+
+    return (ray.data.read_parquet(snap)
+            .map_batches(KnnRescuer, batch_format="pyarrow",
+                         fn_constructor_kwargs=dict(
+                             spec=spec, k=3, prefilter=1 << 30),
+                         concurrency=2)
+            .map_batches(explode, batch_format="pyarrow"))
 
 
 def _write_snapshot(ds_or_table, sf_dir: str, name: str) -> str:
@@ -1133,7 +1174,15 @@ def q_emb_knn_graph(sf_dir: str):
 
 
 def q_emb_topk_ivf(sf_dir: str):
-    from .ops.similarity import kmeans_lite, topk_cosine_ivf
+    """IVF ANN with a FULL content oracle (round 3 closes the last
+    similarity `no_oracle`): the k-means codebook is a PARAMETER of the
+    search, not its correctness — so the engine's (normalized) centroids
+    are snapshotted, and DuckDB recomputes the entire IVF search from
+    the raw embeddings given that codebook: nearest-centroid assignment
+    per vector, n_probe nearest centroids per query, exact top-k within
+    the probed lists — tie-breaks (cosine desc, id asc) mirrored on both
+    sides.  A wrong assignment, probe set, or rank hash-mismatches."""
+    from .ops.similarity import _normalize, kmeans_lite, topk_cosine_ivf
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                                columns=["vec_id", "embedding"])
     # deterministic bounded codebook sample: row-filter pushdown on the
@@ -1145,6 +1194,12 @@ def q_emb_topk_ivf(sf_dir: str):
                            ).to_pandas().sort_values("vec_id")
     mat = np.array(sample["embedding"].tolist(), dtype=np.float64)
     cents = kmeans_lite(mat, n_clusters=8)
+    # snapshot the codebook exactly as the op will use it (re-normalized)
+    cn = _normalize(np.asarray(cents, dtype=np.float64))
+    _write_snapshot(pa.table({
+        "cent_id": pa.array(range(len(cn)), pa.int64()),
+        "vec": pa.array([row.tolist() for row in cn],
+                        pa.list_(pa.float64()))}), sf_dir, "ivf_centroids")
     out = topk_cosine_ivf(ds, _first_queries(sf_dir), cents, k=5,
                           n_probe=4).to_pandas()
     return pa.Table.from_pandas(out[["query_id", "vec_id", "rank"]]
@@ -1481,6 +1536,66 @@ def build_oracle_sql() -> dict[str, str]:
                     where d.rnk <= 5 and s.query_id = qs.query_id)
                    as n_hits
             from qs""",
+        "geo_knn_rescue": f"""
+            -- full content recompute of the exact-mode kNN rescue: the
+            -- snapshot provides row selection (unmatched addresses +
+            -- raw street/postcode); suggestions are recomputed from the
+            -- raw gazetteer.  Score mirrors the engine expression
+            -- op-for-op: 0.5*(j + (pl*0.1)*(1-j)) + 0.5*(1 - lev/max),
+            -- with j = jaro_similarity and pl = common prefix (<=4).
+            with snap as (
+                select addr_key, {norm_street} qn,
+                       cast(post_code as varchar) pc
+                from read_parquet('{s01}/knn_rescue_input/*.parquet')),
+            q as (select addr_key, qn, substr(pc, 1, 2) pc2,
+                         array_to_string(list_sort(string_split(qn, ' ')),
+                                         ' ') tn
+                  from snap where qn <> ''),
+            streets as (
+                select place_id, name, {norm_name} cn,
+                       substr(cast(post_code as varchar), 1, 2) sp2
+                from {gaz} where place_rank = 26),
+            st2 as (select place_id, name, cn, sp2,
+                           array_to_string(list_sort(string_split(cn, ' ')),
+                                           ' ') tcn
+                    from streets),
+            qb as (select q.*,
+                          exists (select 1 from streets t
+                                  where t.sp2 = q.pc2) has_bucket
+                   from q),
+            pairs as (
+                select b.addr_key, t.place_id, t.name,
+                       jaro_similarity(b.qn, t.cn) j,
+                       (case when substr(b.qn,1,1) = substr(t.cn,1,1)
+                                  and substr(b.qn,1,1) <> '' then
+                          case when substr(b.qn,2,1) = substr(t.cn,2,1)
+                                    and substr(b.qn,2,1) <> '' then
+                            case when substr(b.qn,3,1) = substr(t.cn,3,1)
+                                      and substr(b.qn,3,1) <> '' then
+                              case when substr(b.qn,4,1) = substr(t.cn,4,1)
+                                        and substr(b.qn,4,1) <> '' then 4
+                              else 3 end
+                            else 2 end
+                          else 1 end
+                        else 0 end) pl,
+                       1.0 - levenshtein(b.tn, t.tcn)
+                             / greatest(greatest(length(b.tn),
+                                                 length(t.tcn)), 1) tok
+                from qb b join st2 t
+                  on (b.has_bucket and t.sp2 = b.pc2)
+                     or (not b.has_bucket)),
+            scored as (
+                select addr_key, place_id, name,
+                       0.5 * (j + (pl * 0.1) * (1 - j)) + 0.5 * tok s
+                from pairs),
+            ranked as (
+                select addr_key, place_id, name,
+                       row_number() over (partition by addr_key
+                                          order by s desc, place_id) rk
+                from scored)
+            select addr_key, cast(rk as bigint) sugg_rank, place_id,
+                   name street_sugg
+            from ranked where rk <= 3""",
         "geo_knn_rescue_struct": f"""
             with streets as (select place_id, substr(post_code, 1, 2) p2
                              from {gaz} where place_rank = 26),
@@ -1736,5 +1851,34 @@ def build_oracle_sql() -> dict[str, str]:
                            list_cosine_similarity(q.qe, e.embedding) desc,
                            e.vec_id asc) rnk
                   from q, embeddings e)
+            select qid as query_id, vec_id, rnk from d where rnk <= 5""",
+        "emb_topk_ivf": f"""
+            -- full IVF search recompute given the snapshotted codebook:
+            -- nearest-centroid assignment, n_probe=4 probe set, exact
+            -- top-5 within probed lists (ties: cosine desc, id asc)
+            with cents as (select cent_id, vec from read_parquet(
+                               '{s01}/ivf_centroids/*.parquet')),
+            q as (select vec_id qid, embedding qe from embeddings
+                  where vec_id < 5),
+            a1 as (select e.vec_id, c.cent_id,
+                          row_number() over (partition by e.vec_id order by
+                            list_cosine_similarity(c.vec, e.embedding) desc,
+                            c.cent_id) rn
+                   from embeddings e, cents c),
+            assign as (select vec_id, cent_id from a1 where rn = 1),
+            p1 as (select q.qid, c.cent_id,
+                          row_number() over (partition by q.qid order by
+                            list_cosine_similarity(c.vec, q.qe) desc,
+                            c.cent_id) rn
+                   from q, cents c),
+            probe as (select qid, cent_id from p1 where rn <= 4),
+            d as (select q.qid, e.vec_id,
+                         row_number() over (partition by q.qid order by
+                           list_cosine_similarity(q.qe, e.embedding) desc,
+                           e.vec_id asc) rnk
+                  from q
+                  join embeddings e on true
+                  join assign a on a.vec_id = e.vec_id
+                  join probe p on p.qid = q.qid and p.cent_id = a.cent_id)
             select qid as query_id, vec_id, rnk from d where rnk <= 5""",
     }

@@ -35,14 +35,16 @@ class KnnRescuer:
     Scoring is BATCHED (round-3 perf item): the whole batch's unique
     (street, postcode-prefix) queries and their prefiltered candidates
     become ONE (pairs x chars) kernel call each for Jaro-Winkler and
-    token-sort (``textvec.jaro_winkler_pairs`` / ``osa_similarity_pairs``)
+    token-sort (``textvec.jaro_winkler_pairs`` / ``lev_similarity_pairs``)
     instead of a per-(row, candidate) Python loop.  The candidate-set
     code matrices are built once per worker in ``__init__``.  The
-    token-sort leg uses the OSA edit distance (vectorizable) instead of
-    the scalar unrestricted Damerau-Levenshtein; the two differ only on
-    overlapping-transposition inputs street names do not exhibit, and
-    this scorer is net-new (not reference semantics — the reference
-    comparator kernels in compare.py are untouched)."""
+    token-sort leg uses plain Levenshtein (vectorizable, and
+    bit-replicable by the DuckDB oracle's built-in ``levenshtein``)
+    instead of the scalar unrestricted Damerau-Levenshtein; this scorer
+    is net-new (not reference semantics — the reference comparator
+    kernels in compare.py are untouched).  ``prefilter`` is a PERF knob,
+    not semantics: with ``prefilter >= bucket size`` the top-k is exact
+    over the bucket, which is the mode the content oracle checks."""
 
     def __init__(self, spec: GazetteerSpec | None = None, k: int = 3,
                  prefilter: int = 100):
@@ -106,7 +108,7 @@ class KnnRescuer:
         """Top-k for each unique (street, pc2): one pairwise kernel call
         for the whole batch's (query x candidate) pairs."""
         from .textvec import (codes_matrix, jaro_winkler_pairs,
-                              osa_similarity_pairs)
+                              lev_similarity_pairs)
         qnorms, cand_lists = [], []
         for street, pc2 in uniq:
             q = normalize_street(street)
@@ -144,7 +146,7 @@ class KnnRescuer:
             jw = jaro_winkler_pairs(qc[qs, :qw], ql[qs],
                                     self.cand_codes[cs, :w],
                                     self.cand_lens[cs])
-            tok = osa_similarity_pairs(tq[qs, :qw], tl[qs],
+            tok = lev_similarity_pairs(tq[qs, :qw], tl[qs],
                                        self.tok_codes[cs, :w],
                                        self.tok_lens[cs])
             score[sel] = 0.5 * jw + 0.5 * tok

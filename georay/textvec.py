@@ -28,8 +28,8 @@ import numpy as np
 
 __all__ = [
     "codes_matrix", "jaro_winkler_pairs", "jaro_winkler_vec",
-    "osa_distance", "osa_similarity_pairs", "osa_similarity_vec",
-    "str_codes",
+    "lev_similarity_pairs", "osa_distance", "osa_similarity_pairs",
+    "osa_similarity_vec", "str_codes",
 ]
 
 
@@ -305,16 +305,21 @@ def jaro_winkler_pairs(qcodes: np.ndarray, qlens: np.ndarray,
 
 
 def osa_similarity_pairs(qcodes: np.ndarray, qlens: np.ndarray,
-                         ccodes: np.ndarray, clens: np.ndarray
-                         ) -> np.ndarray:
-    """Token-sort-style similarity for P pairs: 1 - OSA/max(len), with
+                         ccodes: np.ndarray, clens: np.ndarray,
+                         transpositions: bool = True) -> np.ndarray:
+    """Token-sort-style similarity for P pairs: 1 - dist/max(len), with
     ``levenshtein_similarity``'s edge rule (both empty -> 0.0).  Same
     wavefront vectorization as ``osa_similarity_vec``; pairs are sorted
     by descending query length so iteration ``i`` computes only the
     still-active prefix of rows (their finished rows stay frozen in the
     full buffers), and the DP runs in int32 — distances are bounded by
     the padded string widths, and halving the per-iteration memory
-    traffic is what this kernel's cost is made of."""
+    traffic is what this kernel's cost is made of.
+
+    ``transpositions=True`` gives the OSA (restricted Damerau) distance;
+    ``False`` drops the transposition recurrence, yielding plain
+    Levenshtein — bit-identical to DuckDB's ``levenshtein``, which is
+    what makes the kNN-rescue scorer fully SQL-oracle-checkable."""
     P, Mq = qcodes.shape
     L = ccodes.shape[1]
     qlens = qlens.astype(np.int64)
@@ -345,7 +350,7 @@ def osa_similarity_pairs(qcodes: np.ndarray, qlens: np.ndarray,
         t = np.empty((n, L + 1), dtype=np.int16)
         t[:, 0] = i
         t[:, 1:] = np.minimum(prev[:n, :-1] + cost, prev[:n, 1:] + 1)
-        if i > 1:
+        if transpositions and i > 1:
             qa_p = qcodes[:n, i - 2][:, None]
             tr = (ccodes_s[:n, :-1] == qa_i) & (ccodes_s[:n, 1:] == qa_p)
             t[:, 2:] = np.minimum(t[:, 2:],
@@ -360,3 +365,15 @@ def osa_similarity_pairs(qcodes: np.ndarray, qlens: np.ndarray,
     unsorted = np.empty_like(sim)
     unsorted[order] = sim
     return unsorted
+
+
+def lev_similarity_pairs(qcodes: np.ndarray, qlens: np.ndarray,
+                         ccodes: np.ndarray, clens: np.ndarray
+                         ) -> np.ndarray:
+    """1 - Levenshtein/max(len) for P pairs (both empty -> 0.0): the
+    kNN-rescue token-sort leg.  Plain Levenshtein (no transpositions) so
+    the DuckDB oracle reproduces every distance exactly with its
+    built-in ``levenshtein`` — the final ``1 - d/max`` division is one
+    IEEE op on identical integers on both sides."""
+    return osa_similarity_pairs(qcodes, qlens, ccodes, clens,
+                                transpositions=False)
