@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": e.q_doc_vocab_topk,
         "doc_sample_per_lang": e.q_doc_sample_per_lang,
         "doc_minhash_pairs": e.q_doc_minhash_pairs,
+        "doc_dup_clusters": e.q_doc_dup_clusters,
+        "doc_dedup_near": e.q_doc_dedup_near,
         "doc_simhash_pairs": e.q_doc_simhash_pairs,
         "doc_ngram_jaccard": e.q_doc_ngram_jaccard,
         "doc_curation": e.q_doc_curation,

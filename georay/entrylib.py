@@ -1056,6 +1056,42 @@ def q_doc_minhash_pairs(sf_dir: str):
     return pa.Table.from_pandas(pdf[["id_a", "id_b"]], preserve_index=False)
 
 
+def q_doc_dup_clusters(sf_dir: str):
+    """Near-dup CLUSTER labels (round 3): MinHash-LSH pairs fed through
+    iterative min-label connected components — (doc_id, comp) where comp
+    is the smallest doc id in the duplicate cluster.  The oracle
+    recomputes the full transitive closure with a recursive CTE over the
+    SQL-recomputed pair list, so a missed edge, an extra edge, or an
+    under-propagated label all hash-mismatch."""
+    from .ops.dedup import connected_components, minhash_lsh_pairs
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    comp = connected_components(pairs).to_pandas()
+    if comp.empty:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "comp": pa.array([], pa.int64())})
+    comp = comp.rename(columns={"node": "doc_id"})
+    return pa.Table.from_pandas(comp[["doc_id", "comp"]],
+                                preserve_index=False)
+
+
+def q_doc_dedup_near(sf_dir: str):
+    """End-to-end near-dedup survivors (round 3): MinHash pairs →
+    connected components → keep each cluster's min-id doc + all
+    unclustered docs, via a broadcast drop-set filter (no corpus
+    shuffle).  Oracle: documents anti-joined against the recursive-CTE
+    closure's non-canonical nodes."""
+    from .ops.dedup import (connected_components, keep_canonical,
+                            minhash_lsh_pairs)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pairs = minhash_lsh_pairs(ds, threshold=0.5)
+    comp = connected_components(pairs)
+    kept = keep_canonical(ds, comp).select_columns(["doc_id"])
+    return kept
+
+
 def q_doc_simhash_pairs(sf_dir: str):
     from .ops.dedup import simhash_pairs
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
@@ -1473,6 +1509,36 @@ def build_oracle_sql() -> dict[str, str]:
         "doc_langid": _langid_sql("documents"),
         "doc_fingerprint": _fingerprint_sql("documents"),
         "doc_minhash_pairs": _minhash_sql("documents", threshold=0.5),
+        "doc_dup_clusters": f"""
+            -- transitive closure over the SQL-recomputed pair list:
+            -- comp = min node reachable through the undirected graph
+            with recursive p as ({_minhash_sql("documents",
+                                               threshold=0.5)}),
+            e as (select id_a u, id_b v from p
+                  union select id_b, id_a from p),
+            n as (select distinct u as node from e),
+            reach(node, r) as (
+                select node, node from n
+                union
+                select e.v, reach.r from reach
+                join e on e.u = reach.node)
+            select node as doc_id, cast(min(r) as bigint) as comp
+            from reach group by node""",
+        "doc_dedup_near": f"""
+            with recursive p as ({_minhash_sql("documents",
+                                               threshold=0.5)}),
+            e as (select id_a u, id_b v from p
+                  union select id_b, id_a from p),
+            n as (select distinct u as node from e),
+            reach(node, r) as (
+                select node, node from n
+                union
+                select e.v, reach.r from reach
+                join e on e.u = reach.node),
+            comp as (select node, min(r) mc from reach group by node)
+            select d.doc_id from documents d
+            left join comp c on c.node = d.doc_id
+            where c.node is null or c.node = c.mc""",
         "doc_simhash_pairs": _simhash_sql("documents", max_hamming=3),
         "doc_ngram_jaccard": _ngram_sql("documents", threshold=0.6),
         "emb_dup_pairs": """

@@ -499,3 +499,138 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
 
     from ..shuffle import grouped_map
     return grouped_map(buckets, "bucket", per_partition, group_fn=False)
+
+
+def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
+                         id_b: str = "id_b", max_iters: int = 12,
+                         num_partitions: int = 64) -> "ray.data.Dataset":
+    """Duplicate-CLUSTER labels from a near-dup pair list: (node, comp)
+    for every node appearing in ``pairs``, where ``comp`` is the minimum
+    node id reachable through the pair graph — the canonical
+    keep-one-per-cluster step that follows MinHash/SimHash/embedding
+    pair generation in a training-data dedup pipeline.
+
+    Plan (Ray-Data-first iterative min-label propagation): edges are
+    doubled (u->v, v->u) once; each round is two ``grouped_map``
+    shuffles over the node key — (1) labels co-partitioned with edge
+    SOURCES so every edge emits its source's current label at its
+    target, (2) a min-combine per target node.  The label set is
+    materialized per round (iterative algorithms need a per-round
+    barrier) and the loop early-stops on a round with zero label
+    changes.  Rounds needed = graph diameter; near-dup clusters are
+    near-cliques (every pair of dups tends to collide directly), so
+    2-3 rounds close real corpora — ``max_iters`` only guards
+    pathological chain graphs, for which a large-star/small-star
+    contraction would be the upgrade.  All shuffles move only the
+    PAIR-GRAPH nodes (a small fraction of the corpus), never the
+    documents.
+
+    Node ids must be integers (the synthetic corpus and every pair op
+    here use int64 doc ids)."""
+    import ray.data
+
+    from ..shuffle import distinct_on, grouped_map
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        default_gc()
+        a = batch[id_a].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[id_b].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(np.r_[a, b], pa.int64()),
+                         "dst": pa.array(np.r_[b, a], pa.int64()),
+                         "label": pa.array(np.zeros(2 * len(a)), pa.int64()),
+                         "is_edge": pa.array(np.ones(2 * len(a), np.int8),
+                                             pa.int8())})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    edges = edges.materialize()    # reused every round — never re-derived
+    if edges.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "comp": pa.array([], pa.int64())}))
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        n = batch["key"]
+        return pa.table({"key": n, "dst": pa.array([0] * len(n), pa.int64()),
+                         "label": n, "is_edge": pa.array([0] * len(n),
+                                                         pa.int8())})
+
+    labels = distinct_on(edges.map_batches(to_nodes, batch_format="pyarrow"),
+                         ["key"], num_partitions=num_partitions)
+
+    def propagate(df: pd.DataFrame) -> pa.Table:
+        lab = df[df["is_edge"] == 0]
+        ed = df[df["is_edge"] == 1]
+        src_label = ed["key"].map(
+            pd.Series(lab["label"].values, index=lab["key"].values))
+        return pa.table({
+            "node": pa.array(np.r_[ed["dst"].to_numpy(np.int64),
+                                   lab["key"].to_numpy(np.int64)],
+                             pa.int64()),
+            "cand": pa.array(np.r_[src_label.to_numpy(np.int64),
+                                   lab["label"].to_numpy(np.int64)],
+                             pa.int64()),
+            "is_self": pa.array(np.r_[np.zeros(len(ed), np.int8),
+                                      np.ones(len(lab), np.int8)],
+                                pa.int8())})
+
+    def combine(df: pd.DataFrame) -> pa.Table:
+        new = df.groupby("node", sort=True)["cand"].min()
+        old = df[df["is_self"] == 1].set_index("node")["cand"]
+        changed = (new < old.reindex(new.index)).fillna(True)
+        return pa.table({
+            "key": pa.array(new.index.to_numpy(np.int64), pa.int64()),
+            "dst": pa.array(np.zeros(len(new), np.int64), pa.int64()),
+            "label": pa.array(new.to_numpy(np.int64), pa.int64()),
+            "is_edge": pa.array(np.zeros(len(new), np.int8), pa.int8()),
+            "changed": pa.array(changed.to_numpy(np.int64), pa.int64())})
+
+    for _ in range(max_iters):
+        both = edges.union(labels.drop_columns(["changed"])
+                           if "changed" in labels.schema().names else labels)
+        msgs = grouped_map(both, "key", propagate, group_fn=False,
+                           num_partitions=num_partitions)
+        labels = grouped_map(msgs, "node", combine, group_fn=False,
+                             num_partitions=num_partitions).materialize()
+        if labels.sum("changed") == 0:
+            break
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["key"], "comp": batch["label"]})
+
+    return labels.map_batches(finish, batch_format="pyarrow")
+
+
+def keep_canonical(docs: "ray.data.Dataset", components: "ray.data.Dataset",
+                   id_col: str = "doc_id") -> "ray.data.Dataset":
+    """End-to-end near-dedup: keep each duplicate cluster's minimum-id
+    document plus every unclustered document.  ``components`` is
+    ``connected_components`` output ((node, comp)); the DROP set
+    (nodes with node != comp) is collected to the driver and broadcast
+    via ``ray.put`` — it is bounded by the number of near-duplicate
+    documents (tiny vs the corpus), so the corpus-side pass is one
+    broadcast-filter ``map_batches`` with NO shuffle of the documents.
+    If the drop set ever outgrew the object store, the upgrade is a
+    co-partitioned anti-join on ``id_col`` (entrylib's rel_anti_join
+    plan) — documented scale assumption."""
+    import ray
+
+    drop_tbl = components.map_batches(
+        lambda b: b.filter(pa.compute.not_equal(b["node"], b["comp"])),
+        batch_format="pyarrow").select_columns(["node"])
+    pdf = drop_tbl.to_pandas()   # all-empty datasets lose their schema
+    drop_ids = (np.sort(np.asarray(pdf["node"], dtype=np.int64))
+                if "node" in pdf.columns else np.empty(0, np.int64))
+    drop_ref = ray.put(drop_ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        default_gc()
+        drop = ray.get(drop_ref)
+        if len(drop) == 0:
+            return batch
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(drop, ids)
+        hit = (pos < len(drop)) & (drop[np.minimum(pos, len(drop) - 1)]
+                                   == ids)
+        return batch.filter(pa.array(~hit))
+
+    return docs.map_batches(keep, batch_format="pyarrow")

@@ -322,3 +322,92 @@ def test_sample_per_key_deterministic(ray_session, docs):
     # rerun -> identical sample (content-addressed, no RNG)
     again = deterministic_sample_per_key(docs, "lang", "doc_id", 3).to_pandas()
     assert key(again) == key(got)
+
+
+def test_connected_components_matches_union_find(ray_session):
+    """Min-label propagation must equal a scalar union-find's
+    min-node-per-component labels on a random graph that includes
+    chains (multi-round propagation), cliques, and isolated pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.ops.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    edges = []
+    # 5 cliques of 4
+    for c in range(5):
+        ids = [100 * c + i for i in range(4)]
+        edges += [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]]
+    # a 12-node chain (diameter forces several rounds)
+    chain = [1000 + i for i in range(12)]
+    edges += list(zip(chain, chain[1:]))
+    # random extra edges over a 60-node pool
+    pool = rng.integers(2000, 2060, size=(25, 2))
+    edges += [(int(a), int(b)) for a, b in pool if a != b]
+
+    # scalar union-find reference
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots: dict[int, list] = {}
+    for n in parent:
+        roots.setdefault(find(n), []).append(n)
+    expect = {n: min(ns) for r, ns in roots.items() for n in ns}
+
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([a for a, _ in edges], pa.int64()),
+        "id_b": pa.array([b for _, b in edges], pa.int64())}))
+    out = connected_components(pairs, num_partitions=8).to_pandas()
+    got = dict(zip(out["node"], out["comp"]))
+    assert got == expect
+
+
+def test_connected_components_empty(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from georay.ops.dedup import connected_components
+
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64())}))
+    out = connected_components(pairs).to_pandas()
+    assert len(out) == 0
+
+
+def test_keep_canonical_broadcast_filter(ray_session):
+    """keep_canonical drops exactly the non-min members of each pair
+    cluster and keeps everything else untouched."""
+    import pyarrow as pa
+    import ray
+
+    from georay.ops.dedup import connected_components, keep_canonical
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(10)], pa.string())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 7], pa.int64()),
+        "id_b": pa.array([2, 3, 8], pa.int64())}))
+    comp = connected_components(pairs, num_partitions=4)
+    kept = sorted(keep_canonical(docs, comp).to_pandas()["doc_id"])
+    assert kept == [0, 1, 4, 5, 6, 7, 9]
+
+    # empty pair set: everything survives
+    empty = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()),
+        "id_b": pa.array([], pa.int64())}))
+    comp0 = connected_components(empty)
+    assert len(keep_canonical(docs, comp0).to_pandas()) == 10
