@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_curation": e.q_doc_curation,
         "emb_topk_brute": e.q_emb_topk_brute,
         "emb_knn_graph": e.q_emb_knn_graph,
+        "emb_kmeans": e.q_emb_kmeans,
         "emb_topk_ivf": e.q_emb_topk_ivf,
         "emb_topk_ivf_recall": e.q_emb_topk_ivf_recall,
         "emb_dup_pairs": e.q_emb_dup_pairs,

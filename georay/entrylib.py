@@ -1243,6 +1243,33 @@ def q_emb_topk_ivf(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_emb_kmeans(sf_dir: str):
+    """Distributed spherical k-means (round 3): full-data Lloyd's with
+    broadcast centroids and map-side partial sums (no shuffle; driver
+    traffic = k x dim x blocks floats per iteration), then one
+    assignment pass.  Content oracle via the codebook-as-parameter
+    pattern (emb_topk_ivf): the FINAL centroids are snapshotted and
+    DuckDB recomputes every row's nearest-centroid assignment — ties
+    (cosine desc, cent_id asc) mirrored on both sides."""
+    from .ops.similarity import _normalize, kmeans_assign, kmeans_fit
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    # deterministic init: the 6 smallest vec_ids via row-filter pushdown
+    init = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 6)]
+                         ).to_pandas().sort_values("vec_id")
+    cents = kmeans_fit(ds, np.array(init["embedding"].tolist(),
+                                    dtype=np.float64), iters=4)
+    cn = _normalize(cents)
+    _write_snapshot(pa.table({
+        "cent_id": pa.array(range(len(cn)), pa.int64()),
+        "vec": pa.array([row.tolist() for row in cn],
+                        pa.list_(pa.float64()))}), sf_dir,
+        "kmeans_centroids")
+    return kmeans_assign(ds, cents)
+
+
 def q_emb_dup_pairs(sf_dir: str):
     from .ops.dedup import embedding_dup_pairs
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -1918,6 +1945,18 @@ def build_oracle_sql() -> dict[str, str]:
                            e.vec_id asc) rnk
                   from q, embeddings e)
             select qid as query_id, vec_id, rnk from d where rnk <= 5""",
+        "emb_kmeans": f"""
+            -- nearest-centroid assignment given the snapshotted final
+            -- k-means codebook (ties: cosine desc, cent_id asc)
+            with cents as (select cent_id, vec from read_parquet(
+                               '{s01}/kmeans_centroids/*.parquet')),
+            a1 as (select e.vec_id, c.cent_id,
+                          row_number() over (partition by e.vec_id order by
+                            list_cosine_similarity(c.vec, e.embedding) desc,
+                            c.cent_id) rn
+                   from embeddings e, cents c)
+            select vec_id, cast(cent_id as bigint) as cluster
+            from a1 where rn = 1""",
         "emb_topk_ivf": f"""
             -- full IVF search recompute given the snapshotted codebook:
             -- nearest-centroid assignment, n_probe=4 probe set, exact

@@ -218,3 +218,95 @@ def knn_graph(ds: "ray.data.Dataset", ref_ids: np.ndarray,
                          "rank": pa.array(out_rank, pa.int64())})
 
     return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def kmeans_fit(ds: "ray.data.Dataset", init: np.ndarray, iters: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> np.ndarray:
+    """Distributed spherical k-means over the FULL dataset — the scale
+    path beyond ``kmeans_lite`` (which Lloyd-iterates a driver-side
+    sample).  Per iteration: the current centroids are broadcast via
+    ``ray.put`` (read worker-locally per task, never re-shipped per
+    batch); every batch computes its (k x dim) partial vector sums and
+    counts map-side — so the per-iteration traffic back to the driver
+    is k x dim x num_blocks floats, independent of dataset size, and
+    there is NO shuffle at any point.  Partials are reduced in a
+    deterministic order (sorted by partial key) so a rerun on the same
+    blocks reproduces the same centroids bit-for-bit.  Empty clusters
+    keep their previous centroid.  ``init`` must be a deterministic
+    (k, dim) seed — callers use a key-pushdown sample (see
+    ``entrylib.q_emb_kmeans``) or ``kmeans_lite`` output."""
+    import ray
+
+    cent = _normalize(np.asarray(init, dtype=np.float64))
+    k, dim = cent.shape
+    for _ in range(iters):
+        ref = ray.put(cent.T.copy())
+
+        def partial(batch: pa.Table) -> pa.Table:
+            default_gc()
+            v = vec_matrix(batch, vec_col)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            counts = np.zeros(k, dtype=np.int64)
+            key = -1
+            if v.size:
+                vn = _normalize(v)
+                assign = np.argmax(vn @ ray.get(ref), axis=1)
+                for c in range(k):
+                    m = assign == c
+                    if m.any():
+                        sums[c] = vn[m].sum(axis=0)
+                        counts[c] = int(m.sum())
+                # deterministic reduce key: the batch's smallest id
+                # (batches are deterministic slices of the input files)
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                key = int(np.min(ids))
+            return pa.table({
+                "cluster": pa.array(range(k), pa.int64()),
+                "psum": pa.array([row.tolist() for row in sums],
+                                 pa.list_(pa.float64())),
+                "count": pa.array(counts, pa.int64()),
+                "pkey": pa.array([key] * k, pa.int64())})
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        parts = parts.sort_values(["cluster", "pkey"], kind="mergesort")
+        new = cent.copy()
+        for c in range(k):
+            sub = parts[parts["cluster"] == c]
+            n = int(sub["count"].sum())
+            if n == 0:
+                continue
+            s = np.zeros(dim, dtype=np.float64)
+            for row in sub["psum"]:
+                s += np.asarray(row, dtype=np.float64)
+            v = s / n
+            nv = np.linalg.norm(v)
+            if nv > 1e-12:
+                new[c] = v / nv
+        cent = new
+    return cent
+
+
+def kmeans_assign(ds: "ray.data.Dataset", centroids: np.ndarray,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> "ray.data.Dataset":
+    """(id, cluster) for every row: one broadcast-matmul pass, ties
+    broken by lowest centroid index (numpy argmax first-max = the SQL
+    oracle's (cosine desc, cent_id asc) row_number)."""
+    import ray
+
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cn.T.copy())
+
+    def assign(batch: pa.Table) -> pa.Table:
+        default_gc()
+        v = vec_matrix(batch, vec_col)
+        if not v.size:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        a = np.argmax(_normalize(v) @ ray.get(ref), axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")

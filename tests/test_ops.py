@@ -411,3 +411,42 @@ def test_keep_canonical_broadcast_filter(ray_session):
         "id_b": pa.array([], pa.int64())}))
     comp0 = connected_components(empty)
     assert len(keep_canonical(docs, comp0).to_pandas()) == 10
+
+
+def test_kmeans_fit_recovers_planted_clusters(ray_session):
+    """Distributed spherical k-means recovers 3 well-separated planted
+    directions, is deterministic across reruns, and its assignment op
+    matches a driver-side numpy argmax on the final centroids."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.ops.similarity import (_normalize, kmeans_assign,
+                                       kmeans_fit, vec_matrix)
+
+    rng = np.random.default_rng(3)
+    dirs = _normalize(rng.normal(size=(3, 16)))
+    vecs, truth = [], []
+    for i in range(240):
+        c = i % 3
+        v = dirs[c] + 0.05 * rng.normal(size=16)
+        vecs.append(v.tolist())
+        truth.append(c)
+    tbl = pa.table({"vec_id": pa.array(range(240), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    init = np.array(vecs[:3], dtype=np.float64)   # one seed per class
+
+    cent1 = kmeans_fit(ds, init, iters=4)
+    cent2 = kmeans_fit(ds, init, iters=4)
+    assert np.array_equal(cent1, cent2)           # bit-deterministic
+
+    out = kmeans_assign(ds, cent1).to_pandas().sort_values("vec_id")
+    # engine assignment == numpy brute on the same centroids
+    m = _normalize(np.array(vecs, dtype=np.float64))
+    brute = np.argmax(m @ _normalize(cent1).T, axis=1)
+    assert np.array_equal(out["cluster"].to_numpy(), brute)
+    # each planted class maps to ONE cluster, classes to distinct ones
+    by_class = [set(out["cluster"][np.array(truth) == c]) for c in range(3)]
+    assert all(len(s) == 1 for s in by_class)
+    assert len(set().union(*by_class)) == 3
