@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": e.q_doc_fingerprint,
         "doc_vocab_topk": e.q_doc_vocab_topk,
         "doc_sample_per_lang": e.q_doc_sample_per_lang,
+        "doc_length_quantiles": e.q_doc_length_quantiles,
         "doc_minhash_pairs": e.q_doc_minhash_pairs,
         "doc_dup_clusters": e.q_doc_dup_clusters,
         "doc_dedup_near": e.q_doc_dedup_near,

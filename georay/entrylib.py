@@ -1035,6 +1035,18 @@ def q_doc_vocab_topk(sf_dir: str, k: int = 50):
     return vocab_topk(ds, k=k)
 
 
+def q_doc_length_quantiles(sf_dir: str):
+    """Exact corpus length quantiles from per-batch (length, count)
+    partial histograms: the shuffle moves one row per distinct length
+    per block, never per document — scale-safe at any corpus size.
+    Quantile definition = DuckDB quantile_disc (smallest value whose
+    cumulative count reaches ceil(q*n))."""
+    from .ops.text import length_quantiles
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+    return length_quantiles(ds)
+
+
 def q_doc_sample_per_lang(sf_dir: str, k: int = 5):
     """Deterministic stratified sample: k docs per language by smallest
     md5(doc_id) — content-addressed (same sample on any cluster
@@ -1892,6 +1904,19 @@ def build_oracle_sql() -> dict[str, str]:
             select token, cast(count(*) as bigint) as n
             from toks group by token
             order by n desc, token limit 50""",
+        "doc_length_quantiles": r"""
+            with lens as (
+              select cast(length(text) as bigint) as v from documents),
+            tot as (select cast(count(*) as bigint) as n from lens),
+            hist as (
+              select v, cast(sum(count(*)) over (order by v) as bigint) cum
+              from lens group by v),
+            qs(q_bp) as (values (2500),(5000),(7500),(9000),(9900))
+            select cast(q.q_bp as bigint) as q_bp,
+                   (select min(h.v) from hist h, tot t
+                    where h.cum >= greatest(1, ceil(q.q_bp / 10000.0 * t.n)))
+                   as value
+            from qs q order by q.q_bp""",
         "doc_sample_per_lang": r"""
             select lang, doc_id from (
               select lang, doc_id,

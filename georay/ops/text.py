@@ -202,3 +202,45 @@ def vocab_topk(ds, k: int = 50, text_col: str = "text") -> pa.Table:
                            kind="mergesort").head(k)
     return pa.table({"token": pa.array(top["token"], pa.string()),
                      "n": pa.array(top["sum(n)"].to_numpy(), pa.int64())})
+
+
+def length_quantiles(ds: "ray.data.Dataset", qs: tuple = (0.25, 0.5, 0.75,
+                                                          0.9, 0.99),
+                     text_col: str = "text") -> pa.Table:
+    """Exact corpus length quantiles at any scale: per-batch (length →
+    count) partial histograms (map-side combine — the shuffle moves one
+    row per DISTINCT length per block, never per document), one small
+    groupby, then the quantile walk over the merged histogram on the
+    driver (bounded by the number of distinct lengths).  Quantile
+    definition mirrors DuckDB ``quantile_disc``: the smallest value
+    whose cumulative count reaches ``ceil(q * n)``.  Returns
+    (q_bp, value) with q in integer basis points."""
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lens = pc.utf8_length(batch[text_col]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals, counts = np.unique(lens, return_counts=True)
+        return pa.table({"value": pa.array(vals, pa.int64()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("value").sum("n").to_pandas())
+    if hist.empty:   # all-empty grouped result loses its schema
+        return pa.table({"q_bp": pa.array([], pa.int64()),
+                         "value": pa.array([], pa.int64())})
+    hist = hist.sort_values("value", kind="mergesort")
+    counts = hist["sum(n)"].to_numpy(np.int64)
+    values = hist["value"].to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if total == 0:
+            continue
+        target = max(1, math.ceil(q * total))
+        idx = int(np.searchsorted(cum, target, side="left"))
+        out_q.append(int(round(q * 10000)))
+        out_v.append(int(values[idx]))
+    return pa.table({"q_bp": pa.array(out_q, pa.int64()),
+                     "value": pa.array(out_v, pa.int64())})

@@ -299,6 +299,33 @@ def test_vocab_topk_matches_duckdb(ray_session, docs):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
 
 
+def test_length_quantiles_matches_duckdb(ray_session, docs):
+    from georay.ops.text import length_quantiles
+    got = length_quantiles(docs).to_pandas()
+    ref = duckdb.sql(f"""
+        with lens as (select cast(length(text) as bigint) v
+                      from read_parquet('{SF}/documents.parquet')),
+        tot as (select cast(count(*) as bigint) n from lens),
+        hist as (select v, cast(sum(count(*)) over (order by v) as bigint)
+                 cum from lens group by v),
+        qs(q_bp) as (values (2500),(5000),(7500),(9000),(9900))
+        select cast(q.q_bp as bigint) q_bp,
+               (select min(h.v) from hist h, tot t
+                where h.cum >= greatest(1, ceil(q.q_bp / 10000.0 * t.n)))
+               as value
+        from qs q order by q.q_bp""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
+
+
+def test_length_quantiles_empty(ray_session):
+    """Empty corpus yields an empty (typed) result, not a crash."""
+    import pyarrow as pa
+    from georay.ops.text import length_quantiles
+    ds = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = length_quantiles(ds).to_pandas()
+    assert len(out) == 0 and list(out.columns) == ["q_bp", "value"]
+
+
 def test_vocab_partial_is_a_combiner():
     """Partial output rows are DISTINCT tokens, not occurrences."""
     import pyarrow as pa
