@@ -85,6 +85,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": e.q_doc_simhash_pairs,
         "doc_ngram_jaccard": e.q_doc_ngram_jaccard,
         "doc_curation": e.q_doc_curation,
+        "doc_repetition": e.q_doc_repetition,
+        "doc_decontaminate": e.q_doc_decontaminate,
+        "doc_pii_scrub": e.q_doc_pii_scrub,
         "emb_topk_brute": e.q_emb_topk_brute,
         "emb_knn_graph": e.q_emb_knn_graph,
         "emb_kmeans": e.q_emb_kmeans,

@@ -1186,6 +1186,80 @@ def q_doc_ngram_jaccard(sf_dir: str):
     return pa.Table.from_pandas(pdf[["id_a", "id_b"]], preserve_index=False)
 
 
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (top-bigram share +
+    duplicate-bigram share, integer basis points) — embarrassingly
+    parallel per-document map, no shuffle at any scale."""
+    from .ops.curation import repetition_signals
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    out = ds.map_batches(repetition_signals, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "top_bigram_bp", "dup_bigram_bp"])
+
+
+def q_doc_decontaminate(sf_dir: str, n: int = 4):
+    """Benchmark decontamination: flag corpus docs sharing >= 1 word
+    4-gram with the benchmark set (here the ``doc_id % 20 == 7`` slice
+    stands in for the external eval set, derived identically on both
+    sides).  Benchmark grams are collected once (bounded by benchmark
+    size), ``ray.put`` broadcast, and membership-checked worker-locally
+    — the corpus side never shuffles."""
+    import ray
+
+    from .ops.curation import benchmark_gram_hashes, decontaminate
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 20 == 7))
+
+    bench = ds.map_batches(bench_only, batch_format="pyarrow")
+    ref = ray.put(benchmark_gram_hashes(bench, n=n))
+    return decontaminate(ds, ref, n=n)
+
+
+def q_doc_pii_scrub(sf_dir: str):
+    """PII scrub parity check: the corpus has no PII, so both sides
+    append identical synthetic PII derived from ``doc_id`` (email /
+    phone / IP present or absent by doc_id residue), then the engine's
+    regex redaction is verified byte-for-byte via md5 of the scrubbed
+    text plus per-kind match counts.  Stateless map, no shuffle."""
+    import hashlib as _hl
+
+    from .ops.curation import pii_scrub
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        aug = []
+        for d, t in zip(batch["doc_id"].to_pylist(),
+                        batch["text"].to_pylist()):
+            s = t or ""
+            if d % 4 != 1:
+                s += f" contact user{d}@mail.example"
+            if d % 3 != 2:
+                s += f" tel 0{d % 100:02d}-{d % 1000:03d}-{d % 10000:04d}"
+            if d % 5 != 3:
+                s += f" ip 10.{d % 256}.{(d // 7) % 256}.{d % 100}"
+            aug.append(s)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(aug, pa.string())})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        md5s = [_hl.md5(s.encode("utf-8")).hexdigest()
+                for s in batch["scrubbed"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_emails": batch["n_emails"],
+                         "n_ips": batch["n_ips"],
+                         "n_phones": batch["n_phones"],
+                         "scrubbed_md5": pa.array(md5s, pa.string())})
+
+    return (ds.map_batches(augment, batch_format="pyarrow")
+              .map_batches(pii_scrub, batch_format="pyarrow")
+              .map_batches(finish, batch_format="pyarrow"))
+
+
 def _first_queries(sf_dir: str, n=5) -> np.ndarray:
     # row-filter pushdown: only the n query vectors leave storage — the
     # driver never reads the full embeddings table (scale rule)
@@ -1952,6 +2026,80 @@ def build_oracle_sql() -> dict[str, str]:
                                and nchnw <= 12.0 * ntok
                            then 0.3 else 0.0 end), 3) as quality
             from s""",
+        "doc_repetition": r"""
+            with toks as (
+              select doc_id,
+                     [lower(x) for x in regexp_extract_all(text, '\w+')] lst
+              from documents),
+            bg as (
+              select doc_id,
+                     unnest([lst[i] || ' ' || lst[i+1]
+                             for i in range(1, len(lst))]) g
+              from toks where len(lst) >= 2),
+            c as (select doc_id, g, count(*) n from bg group by 1, 2),
+            agg as (select doc_id,
+                           cast(max(n) as bigint) top_n,
+                           cast(sum(n) as bigint) tot,
+                           cast(sum(n - 1) as bigint) dup
+                    from c group by 1)
+            select d.doc_id,
+                   cast(coalesce(floor(cast(a.top_n as double)
+                        / cast(a.tot as double) * 10000 + 0.5), 0)
+                        as bigint) as top_bigram_bp,
+                   cast(coalesce(floor(cast(a.dup as double)
+                        / cast(a.tot as double) * 10000 + 0.5), 0)
+                        as bigint) as dup_bigram_bp
+            from documents d left join agg a using (doc_id)""",
+        "doc_decontaminate": r"""
+            with toks as (
+              select doc_id,
+                     [lower(x) for x in regexp_extract_all(text, '\w+')] lst
+              from documents),
+            grams as (
+              select doc_id,
+                     unnest([list_reduce(lst[i:i+3], (a, b) -> a || ' ' || b)
+                             for i in range(1, len(lst) - 2)]) g
+              from toks where len(lst) >= 4),
+            bench as (select distinct g from grams where doc_id % 20 = 7)
+            select g2.doc_id,
+                   cast(count(distinct g2.g) as bigint) as n_hits
+            from grams g2 join bench using (g)
+            group by 1""",
+        "doc_pii_scrub": r"""
+            with aug as (
+              select doc_id, text
+                || case when doc_id % 4 <> 1
+                        then ' contact user' || cast(doc_id as varchar)
+                             || '@mail.example' else '' end
+                || case when doc_id % 3 <> 2
+                        then ' tel 0'
+                             || lpad(cast(doc_id % 100 as varchar), 2, '0')
+                             || '-'
+                             || lpad(cast(doc_id % 1000 as varchar), 3, '0')
+                             || '-'
+                             || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                        else '' end
+                || case when doc_id % 5 <> 3
+                        then ' ip 10.' || cast(doc_id % 256 as varchar)
+                             || '.' || cast((doc_id // 7) % 256 as varchar)
+                             || '.' || cast(doc_id % 100 as varchar)
+                        else '' end as t
+              from documents)
+            select doc_id,
+                   cast(len(regexp_extract_all(t,
+                        '\w[\w.]*@[\w.]*\w')) as bigint) as n_emails,
+                   cast(len(regexp_extract_all(t,
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+                        as bigint) as n_ips,
+                   cast(len(regexp_extract_all(t,
+                        '\b0\d{2}-\d{3}-\d{4}\b')) as bigint) as n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                        '\w[\w.]*@[\w.]*\w', '<EMAIL>', 'g'),
+                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g'),
+                        '\b0\d{2}-\d{3}-\d{4}\b', '<PHONE>', 'g'))
+                   as scrubbed_md5
+            from aug""",
         "emb_knn_graph": """
             with d as (select a.vec_id src_id, b.vec_id nbr_id,
                          row_number() over (partition by a.vec_id order by

@@ -477,3 +477,49 @@ def test_kmeans_fit_recovers_planted_clusters(ray_session):
     by_class = [set(out["cluster"][np.array(truth) == c]) for c in range(3)]
     assert all(len(s) == 1 for s in by_class)
     assert len(set().union(*by_class)) == 3
+
+
+def test_repetition_signals_pinned(ray_session):
+    from georay.ops.curation import repetition_signals
+    import pyarrow as pa
+    # "a b a b a": bigrams (a,b)x2 (b,a)x2 -> tot=4 top=2 dup=2
+    # "x y z": 2 distinct bigrams -> top 1/2, dup 0
+    # "w": <2 tokens -> 0/0
+    batch = pa.table({"doc_id": [1, 2, 3],
+                      "text": ["a b a b a", "x y z", "w"]})
+    out = repetition_signals(batch).to_pandas()
+    assert out["top_bigram_bp"].tolist() == [5000, 5000, 0]
+    assert out["dup_bigram_bp"].tolist() == [5000, 0, 0]
+
+
+def test_decontaminate_flags_overlap(ray_session):
+    from georay.ops.curation import benchmark_gram_hashes, decontaminate
+    import ray as _ray
+    bench_text = "alpha beta gamma delta epsilon"
+    rows = [{"doc_id": 0, "text": bench_text},                  # the benchmark doc
+            {"doc_id": 1, "text": "x y alpha beta gamma delta z"},  # shares a 4-gram
+            {"doc_id": 2, "text": "alpha beta zeta eta theta"},     # shares no 4-gram
+            {"doc_id": 3, "text": "tiny"}]                          # <4 tokens
+    ds = ray.data.from_items(rows)
+    bench = ray.data.from_items([rows[0]])
+    ref = _ray.put(benchmark_gram_hashes(bench, n=4))
+    got = decontaminate(ds, ref, n=4).to_pandas()
+    assert dict(zip(got["doc_id"], got["n_hits"])) == {0: 2, 1: 1}
+
+
+def test_pii_scrub_pinned(ray_session):
+    from georay.ops.curation import pii_scrub
+    import pyarrow as pa
+    batch = pa.table({"text": [
+        "mail me at jo.doe@ex.org or call 012-345-6789",
+        "server at 192.168.0.1 end",
+        "clean text with no pii",
+    ]})
+    out = pii_scrub(batch).to_pandas()
+    assert out["n_emails"].tolist() == [1, 0, 0]
+    assert out["n_phones"].tolist() == [1, 0, 0]
+    assert out["n_ips"].tolist() == [0, 1, 0]
+    assert out["scrubbed"].tolist() == [
+        "mail me at <EMAIL> or call <PHONE>",
+        "server at <IP> end",
+        "clean text with no pii"]
