@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": e.q_doc_repetition,
         "doc_decontaminate": e.q_doc_decontaminate,
         "doc_pii_scrub": e.q_doc_pii_scrub,
+        "doc_chunk": e.q_doc_chunk,
+        "doc_tfidf_top": e.q_doc_tfidf_top,
         "emb_topk_brute": e.q_emb_topk_brute,
         "emb_knn_graph": e.q_emb_knn_graph,
         "emb_kmeans": e.q_emb_kmeans,

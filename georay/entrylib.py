@@ -1260,6 +1260,30 @@ def q_doc_pii_scrub(sf_dir: str):
               .map_batches(finish, batch_format="pyarrow"))
 
 
+def q_doc_chunk(sf_dir: str):
+    """Sliding-window chunking (64-token windows, stride 48): stateless
+    flat map, chunk content verified via md5 of the rejoined window."""
+    from .ops.curation import chunk_documents
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return ds.map_batches(chunk_documents, batch_format="pyarrow")
+
+
+def q_doc_tfidf_top(sf_dir: str):
+    """Per-doc top-3 terms by reciprocal-df tf-idf: corpus df via
+    map-side combine (vocabulary-sized shuffle), df table broadcast via
+    ``ray.put``, then one stateless pass over the corpus."""
+    import ray
+
+    from .ops.text import doc_frequencies, tfidf_top_terms
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    df_pdf = doc_frequencies(ds).to_pandas()
+    dfs = dict(zip(df_pdf["token"], df_pdf["sum(df)"].astype(int)))
+    ref = ray.put(dfs)
+    return tfidf_top_terms(ds, ref, n_top=3)
+
+
 def _first_queries(sf_dir: str, n=5) -> np.ndarray:
     # row-filter pushdown: only the n query vectors leave storage — the
     # driver never reads the full embeddings table (scale rule)
@@ -2100,6 +2124,43 @@ def build_oracle_sql() -> dict[str, str]:
                         '\b0\d{2}-\d{3}-\d{4}\b', '<PHONE>', 'g'))
                    as scrubbed_md5
             from aug""",
+        "doc_chunk": r"""
+            with toks as (
+              select doc_id,
+                     [lower(x) for x in regexp_extract_all(text, '\w+')] lst
+              from documents),
+            sized as (
+              select doc_id, lst, len(lst) n,
+                     case when len(lst) <= 64 then 1
+                          else cast(ceil((len(lst) - 64) / 48.0) as bigint)
+                               + 1 end nch
+              from toks where len(lst) > 0),
+            idx as (
+              select doc_id, lst, n, unnest(range(nch)) i from sized)
+            select doc_id, cast(i as bigint) as chunk_idx,
+                   cast(least(i * 48 + 64, n) - i * 48 as bigint)
+                     as chunk_ntok,
+                   md5(list_reduce(lst[i * 48 + 1 : least(i * 48 + 64, n)],
+                                   (a, b) -> a || ' ' || b)) as chunk_md5
+            from idx""",
+        "doc_tfidf_top": r"""
+            with toks as (
+              select doc_id, unnest([lower(x) for x in
+                     regexp_extract_all(text, '\w+')]) tok
+              from documents),
+            tf as (select doc_id, tok, cast(count(*) as bigint) tf
+                   from toks group by 1, 2),
+            df as (select tok, cast(count(distinct doc_id) as bigint) df
+                   from toks group by 1),
+            r as (select tf.doc_id, tf.tok,
+                         cast(tf.tf as double) / df.df score,
+                         row_number() over (partition by tf.doc_id
+                           order by cast(tf.tf as double) / df.df desc,
+                                    tf.tok asc) rnk
+                  from tf join df using (tok))
+            select doc_id, cast(rnk as bigint) as rank, tok as token,
+                   cast(floor(score * 10000 + 0.5) as bigint) as score_bp
+            from r where rnk <= 3""",
         "emb_knn_graph": """
             with d as (select a.vec_id src_id, b.vec_id nbr_id,
                          row_number() over (partition by a.vec_id order by

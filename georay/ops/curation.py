@@ -131,6 +131,42 @@ def decontaminate(ds: "ray.data.Dataset", bench_grams_ref,
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------- chunking
+
+def chunk_documents(batch: pa.Table, chunk_tokens: int = 64,
+                    stride: int = 48, id_col: str = "doc_id",
+                    text_col: str = "text") -> pa.Table:
+    """Sliding-window document chunking (the context-window prep step for
+    training/embedding pipelines): windows of ``chunk_tokens`` word
+    tokens at ``stride`` spacing; a document shorter than one window
+    yields exactly one chunk.  Emits (id, chunk_idx, chunk_ntok,
+    chunk_md5) — the md5 is over the space-rejoined token window, so
+    chunk CONTENT is verified without shipping it.  Stateless flat map:
+    output rows ≈ input tokens / stride, no shuffle."""
+    ids_out, idxs, ntoks, md5s = [], [], [], []
+    for rid, t in zip(batch[id_col].to_pylist(),
+                      batch[text_col].to_pylist()):
+        toks = [w.lower() for w in _WORD.findall(t or "")]
+        n = len(toks)
+        if n == 0:
+            continue
+        if n <= chunk_tokens:
+            n_chunks = 1
+        else:
+            n_chunks = -(-(n - chunk_tokens) // stride) + 1
+        for i in range(n_chunks):
+            win = toks[i * stride: i * stride + chunk_tokens]
+            ids_out.append(rid)
+            idxs.append(i)
+            ntoks.append(len(win))
+            md5s.append(hashlib.md5(
+                " ".join(win).encode("utf-8")).hexdigest())
+    return pa.table({id_col: pa.array(ids_out, batch[id_col].type),
+                     "chunk_idx": pa.array(idxs, pa.int64()),
+                     "chunk_ntok": pa.array(ntoks, pa.int64()),
+                     "chunk_md5": pa.array(md5s, pa.string())})
+
+
 # ------------------------------------------------------------------ PII scrub
 
 # RE2-compatible and re.ASCII-identical patterns: \b, \d, {m,n}, [\w.]

@@ -204,6 +204,64 @@ def vocab_topk(ds, k: int = 50, text_col: str = "text") -> pa.Table:
                      "n": pa.array(top["sum(n)"].to_numpy(), pa.int64())})
 
 
+def doc_frequencies(ds: "ray.data.Dataset", text_col: str = "text"):
+    """Corpus document frequencies (token -> number of docs containing
+    it) via map-side combine: each batch emits ONE (token, df_partial)
+    row per distinct token, so the groupby shuffles vocabulary-sized
+    partials, never the token stream."""
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            for tok in set(_WORD.findall((t or "").lower())):
+                counts[tok] = counts.get(tok, 0) + 1
+        toks = sorted(counts)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "df": pa.array([counts[t] for t in toks],
+                                        pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("token").sum("df")
+
+
+def tfidf_top_terms(ds: "ray.data.Dataset", df_ref, n_top: int = 3,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document top terms by tf-idf with reciprocal-df weighting
+    (score = tf / df): rational in two exact integers, so the double
+    division is bit-identical on the engine and the DuckDB oracle — no
+    transcendental idf that could flip near-ties between the two sides.
+    ``df_ref`` is a ``ray.put`` handle to the (token -> df) dict, read
+    worker-locally per task (broadcast, no shuffle of the corpus side).
+    The broadcast assumes the vocabulary fits worker memory — beyond
+    that, swap this stage for a co-partitioned token join on the same
+    (token, df) table.  Emits (id, rank, token, score_bp), rank 1-based
+    by (score desc, token asc)."""
+    import ray
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        dfs = ray.get(df_ref)
+        ids_out, ranks, toks_out, bps = [], [], [], []
+        for rid, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            tf: dict[str, int] = {}
+            for tok in _WORD.findall((t or "").lower()):
+                tf[tok] = tf.get(tok, 0) + 1
+            if not tf:
+                continue
+            scored = sorted(((tok, c / dfs[tok]) for tok, c in tf.items()),
+                            key=lambda kv: (-kv[1], kv[0]))[:n_top]
+            for r, (tok, s) in enumerate(scored, 1):
+                ids_out.append(rid)
+                ranks.append(r)
+                toks_out.append(tok)
+                bps.append(int(np.floor(s * 10000 + 0.5)))
+        return pa.table({id_col: pa.array(ids_out, batch[id_col].type),
+                         "rank": pa.array(ranks, pa.int64()),
+                         "token": pa.array(toks_out, pa.string()),
+                         "score_bp": pa.array(bps, pa.int64())})
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
 def length_quantiles(ds: "ray.data.Dataset", qs: tuple = (0.25, 0.5, 0.75,
                                                           0.9, 0.99),
                      text_col: str = "text") -> pa.Table:

@@ -523,3 +523,42 @@ def test_pii_scrub_pinned(ray_session):
         "mail me at <EMAIL> or call <PHONE>",
         "server at <IP> end",
         "clean text with no pii"]
+
+
+def test_chunk_documents_pinned(ray_session):
+    from georay.ops.curation import chunk_documents
+    import hashlib
+    import pyarrow as pa
+    toks = [f"w{i}" for i in range(100)]
+    batch = pa.table({"doc_id": [1, 2, 3],
+                      "text": [" ".join(toks), "short doc", ""]})
+    out = chunk_documents(batch, chunk_tokens=64, stride=48).to_pandas()
+    # doc 1: 100 tokens -> ceil((100-64)/48)+1 = 2 chunks (0..63, 48..99)
+    d1 = out[out.doc_id == 1]
+    assert d1["chunk_idx"].tolist() == [0, 1]
+    assert d1["chunk_ntok"].tolist() == [64, 52]
+    assert d1["chunk_md5"].iloc[1] == hashlib.md5(
+        " ".join(toks[48:100]).encode()).hexdigest()
+    # doc 2: one short chunk; doc 3: empty -> no rows
+    assert out[out.doc_id == 2]["chunk_ntok"].tolist() == [2]
+    assert (out.doc_id == 3).sum() == 0
+
+
+def test_tfidf_top_terms_pinned(ray_session):
+    import ray as _ray
+    from georay.ops.text import doc_frequencies, tfidf_top_terms
+    rows = [{"doc_id": 1, "text": "apple apple banana"},
+            {"doc_id": 2, "text": "banana cherry"},
+            {"doc_id": 3, "text": "cherry cherry cherry apple"}]
+    ds = ray.data.from_items(rows)
+    dfp = doc_frequencies(ds).to_pandas()
+    dfs = dict(zip(dfp["token"], dfp["sum(df)"].astype(int)))
+    assert dfs == {"apple": 2, "banana": 2, "cherry": 2}
+    out = tfidf_top_terms(ds, _ray.put(dfs), n_top=2).to_pandas()
+    d1 = out[out.doc_id == 1].sort_values("rank")
+    # doc1: apple tf2/df2=1.0 > banana tf1/df2=0.5
+    assert d1["token"].tolist() == ["apple", "banana"]
+    assert d1["score_bp"].tolist() == [10000, 5000]
+    d3 = out[out.doc_id == 3].sort_values("rank")
+    assert d3["token"].tolist() == ["cherry", "apple"]
+    assert d3["score_bp"].tolist() == [15000, 5000]
