@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": e.q_doc_pii_scrub,
         "doc_chunk": e.q_doc_chunk,
         "doc_tfidf_top": e.q_doc_tfidf_top,
+        "doc_dup_spans": e.q_doc_dup_spans,
         "emb_topk_brute": e.q_emb_topk_brute,
         "emb_knn_graph": e.q_emb_knn_graph,
         "emb_kmeans": e.q_emb_kmeans,

@@ -1284,6 +1284,24 @@ def q_doc_tfidf_top(sf_dir: str):
     return tfidf_top_terms(ds, ref, n_top=3)
 
 
+def q_doc_dup_spans(sf_dir: str):
+    """Exact substring dedup signal: 16-token grams present in >= 2
+    distinct documents, via map-side per-doc combine + ONE gram-hash
+    shuffle (sampled-anchor knob documented for the 100 TB path)."""
+    from .ops.dedup import duplicate_spans
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    pdf = duplicate_spans(ds, n=16).to_pandas()
+    if pdf.empty:   # all-empty grouped result loses its schema
+        return pa.table({"gram_md5": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_occ": pa.array([], pa.int64()),
+                         "min_id": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(
+        pdf[["gram_md5", "n_docs", "n_occ", "min_id"]],
+        preserve_index=False)
+
+
 def _first_queries(sf_dir: str, n=5) -> np.ndarray:
     # row-filter pushdown: only the n query vectors leave storage — the
     # driver never reads the full embeddings table (scale rule)
@@ -2161,6 +2179,23 @@ def build_oracle_sql() -> dict[str, str]:
             select doc_id, cast(rnk as bigint) as rank, tok as token,
                    cast(floor(score * 10000 + 0.5) as bigint) as score_bp
             from r where rnk <= 3""",
+        "doc_dup_spans": r"""
+            with toks as (
+              select doc_id,
+                     [lower(x) for x in regexp_extract_all(text, '\w+')] lst
+              from documents),
+            grams as (
+              select doc_id,
+                     unnest([list_reduce(lst[i:i+15], (a, b) -> a || ' ' || b)
+                             for i in range(1, len(lst) - 14)]) g
+              from toks where len(lst) >= 16),
+            k as (select md5(g) gram_md5, doc_id from grams)
+            select gram_md5,
+                   cast(count(distinct doc_id) as bigint) as n_docs,
+                   cast(count(*) as bigint) as n_occ,
+                   min(doc_id) as min_id
+            from k group by 1
+            having count(distinct doc_id) > 1""",
         "emb_knn_graph": """
             with d as (select a.vec_id src_id, b.vec_id nbr_id,
                          row_number() over (partition by a.vec_id order by

@@ -634,3 +634,62 @@ def keep_canonical(docs: "ray.data.Dataset", components: "ray.data.Dataset",
         return batch.filter(pa.array(~hit))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def duplicate_spans(ds: "ray.data.Dataset", n: int = 16,
+                    id_col: str = "doc_id", text_col: str = "text",
+                    sample_hex: int = 16,
+                    num_partitions: int = 16) -> "ray.data.Dataset":
+    """Exact substring (duplicate n-gram span) detection, the
+    suffix-array-style dedup signal from the published exact-substring
+    dedup literature, expressed shuffle-wise: per-doc map emits one
+    (gram_md5, id, n_occ) row per DISTINCT n-gram per doc (map-side
+    combine), one hash shuffle co-partitions grams, and each partition
+    reports grams seen in >= 2 distinct documents as
+    (gram_md5, n_docs, n_occ, min_id).
+
+    Scale: the shuffle is inherently token-stream-sized — that is the
+    cost of EXACT substring dedup.  ``sample_hex`` < 16 keeps only grams
+    whose first md5 hex digit is < sample_hex (a deterministic
+    1/(16/sample_hex) anchor sample, the standard sampled-anchor
+    mitigation; both the engine and the SQL oracle apply the same rule).
+    """
+    def emit(batch: pa.Table) -> pa.Table:
+        default_gc()
+        ids_out, grams_out, occ = [], [], []
+        for rid, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = [w.lower() for w in _WORD.findall(t or "")]
+            if len(toks) < n:
+                continue
+            counts: dict = {}
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i:i + n])
+                h = hashlib.md5(g.encode("utf-8")).hexdigest()
+                if int(h[0], 16) >= sample_hex:
+                    continue
+                counts[h] = counts.get(h, 0) + 1
+            for h, c in counts.items():
+                ids_out.append(rid)
+                grams_out.append(h)
+                occ.append(c)
+        return pa.table({"gram_md5": pa.array(grams_out, pa.string()),
+                         id_col: pa.array(ids_out, batch[id_col].type),
+                         "n_occ": pa.array(occ, pa.int64())})
+
+    from ..shuffle import grouped_map
+    parts = ds.map_batches(emit, batch_format="pyarrow")
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        agg = df.groupby("gram_md5").agg(
+            n_docs=(id_col, "nunique"), n_occ=("n_occ", "sum"),
+            min_id=(id_col, "min")).reset_index()
+        agg = agg[agg["n_docs"] > 1]
+        return pa.table({
+            "gram_md5": pa.array(agg["gram_md5"], pa.string()),
+            "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+            "n_occ": pa.array(agg["n_occ"].to_numpy(np.int64)),
+            "min_id": pa.array(agg["min_id"].to_numpy(np.int64))})
+
+    return grouped_map(parts, "gram_md5", per_partition,
+                       num_partitions=num_partitions, group_fn=False)

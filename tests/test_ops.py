@@ -562,3 +562,39 @@ def test_tfidf_top_terms_pinned(ray_session):
     d3 = out[out.doc_id == 3].sort_values("rank")
     assert d3["token"].tolist() == ["cherry", "apple"]
     assert d3["score_bp"].tolist() == [15000, 5000]
+
+
+def test_duplicate_spans_planted(ray_session):
+    from georay.ops.dedup import duplicate_spans
+    shared = " ".join(f"s{i}" for i in range(16))
+    rows = [{"doc_id": 1, "text": shared + " tail one"},
+            {"doc_id": 2, "text": "head two " + shared},
+            {"doc_id": 3, "text": "unrelated " + " ".join(
+                f"u{i}" for i in range(20))},
+            # within-doc repeat only -> not a cross-doc duplicate
+            {"doc_id": 4, "text": " ".join(
+                f"r{i % 4}" for i in range(40))}]
+    ds = ray.data.from_items(rows)
+    got = duplicate_spans(ds, n=16).to_pandas()
+    # every reported gram spans >= 2 docs; the planted shared gram is
+    # there with min_id 1 and exactly docs {1, 2}
+    assert (got["n_docs"] >= 2).all()
+    import hashlib
+    h = hashlib.md5(shared.encode()).hexdigest()
+    hit = got[got.gram_md5 == h]
+    assert len(hit) == 1
+    assert hit["n_docs"].iloc[0] == 2 and hit["min_id"].iloc[0] == 1
+    assert 4 not in set(got["min_id"])
+
+
+def test_duplicate_spans_sampling_subset(ray_session):
+    from georay.ops.dedup import duplicate_spans
+    shared = " ".join(f"t{i}" for i in range(30))
+    ds = ray.data.from_items([{"doc_id": 1, "text": shared},
+                              {"doc_id": 2, "text": shared}])
+    full = duplicate_spans(ds, n=16, sample_hex=16).to_pandas()
+    samp = duplicate_spans(ds, n=16, sample_hex=4).to_pandas()
+    # the 1/4 anchor sample keeps exactly the grams whose first md5 hex
+    # digit is < 4 — a deterministic subset of the full result
+    assert set(samp.gram_md5) == {
+        g for g in full.gram_md5 if int(g[0], 16) < 4}
