@@ -59,6 +59,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_docs_match_content": e.q_geo_docs_match_content,
         "geo_knn_rescue_struct": e.q_geo_knn_rescue_struct,
         "geo_pip_validate": e.q_geo_pip_validate,
+        "geo_raster_points": e.q_geo_raster_points,
+        "geo_raster_polygons": e.q_geo_raster_polygons,
+        "geo_raster_vectorize": e.q_geo_raster_vectorize,
         # relational operator parity (testdata)
         "rel_groupby_agg": e.q_rel_groupby_agg,
         "rel_top1_per_key": e.q_rel_top1_per_key,

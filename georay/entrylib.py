@@ -642,6 +642,46 @@ def q_geo_pip_validate(sf_dir: str):
         project, batch_format="pyarrow")
 
 
+def q_geo_raster_points(sf_dir: str):
+    """Vector -> raster: gazetteer point density on the 0.05-degree
+    grid via map-side partial counts + one (row, col) groupby."""
+    from .raster import rasterize_points
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["lat", "lon"])
+    return rasterize_points(ds)
+
+
+def q_geo_raster_polygons(sf_dir: str):
+    """Vector -> raster burn: admin-boundary interiors onto the grid by
+    cell-center even-odd containment (same bit-verified kernel as the
+    PIP validator); each task clips to its polygon's bbox."""
+    from .raster import rasterize_polygons
+    d = ensure_synth(sf_dir)
+    bnds = ray.data.read_parquet(
+        os.path.join(d, "boundaries.parquet"),
+        columns=["bnd_idx", "ring_lat", "ring_lon"])
+    return rasterize_polygons(bnds)
+
+
+def q_geo_raster_vectorize(sf_dir: str):
+    """Raster -> vector roundtrip: density raster, threshold >= 2,
+    run-length polygonization into horizontal segments (rows
+    co-partitioned, segments built locally)."""
+    from .raster import rasterize_points, vectorize_runs
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["lat", "lon"])
+    pdf = vectorize_runs(rasterize_points(ds), threshold=2).to_pandas()
+    if pdf.empty:   # all-empty grouped result loses its schema
+        return pa.table({"row": pa.array([], pa.int64()),
+                         "col_start": pa.array([], pa.int64()),
+                         "col_end": pa.array([], pa.int64()),
+                         "n_cells": pa.array([], pa.int64()),
+                         "sum_n": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 # ---------------------------------------------------------------------------
 # relational operator parity (testdata tables)
 
@@ -1863,6 +1903,54 @@ def build_oracle_sql() -> dict[str, str]:
                    case when loc_pc = post_code or post_code = ''
                         then 1 else 0 end as pip_ok
             from loc""",
+        "geo_raster_points": f"""
+            select cast(floor((lat - 49.6) / 0.05) as bigint) as "row",
+                   cast(floor((lon - 2.75) / 0.05) as bigint) as "col",
+                   count(*) as n
+            from {gaz}
+            where floor((lat - 49.6) / 0.05) between 0 and 35
+              and floor((lon - 2.75) / 0.05) between 0 and 69
+            group by 1, 2""",
+        "geo_raster_polygons": f"""
+            with cells as (
+              select r.r, c.c,
+                     49.6 + (cast(r.r as double) + 0.5) * 0.05 clat,
+                     2.75 + (cast(c.c as double) + 0.5) * 0.05 clon
+              from (select unnest(range(36)) r) r,
+                   (select unnest(range(70)) c) c),
+            b as (select bnd_idx, ring_lat, ring_lon
+                  from read_parquet('{s01}/boundaries.parquet'))
+            select b.bnd_idx, cast(cells.r as bigint) as "row",
+                   cast(cells.c as bigint) as "col"
+            from b, cells
+            where (list_sum([case
+                     when (case when ring_lat[i] > cells.clat
+                                then 1 else 0 end)
+                       <> (case when ring_lat[i+1] > cells.clat
+                                then 1 else 0 end)
+                      and ring_lat[i+1] <> ring_lat[i]
+                      and cells.clon < (ring_lon[i+1]-ring_lon[i])
+                          * (cells.clat-ring_lat[i])
+                          / (ring_lat[i+1]-ring_lat[i]) + ring_lon[i]
+                     then 1 else 0 end
+                     for i in range(1, len(ring_lat))]) % 2) = 1""",
+        "geo_raster_vectorize": f"""
+            with pts as (
+              select cast(floor((lat - 49.6) / 0.05) as bigint) rw,
+                     cast(floor((lon - 2.75) / 0.05) as bigint) cl
+              from {gaz}
+              where floor((lat - 49.6) / 0.05) between 0 and 35
+                and floor((lon - 2.75) / 0.05) between 0 and 69),
+            r as (select rw, cl, count(*) n from pts
+                  group by 1, 2 having count(*) >= 2),
+            s as (select rw, cl, n,
+                         cl - row_number() over (partition by rw
+                                                 order by cl) grp
+                  from r)
+            select rw as "row", min(cl) as col_start, max(cl) as col_end,
+                   cast(count(*) as bigint) as n_cells,
+                   cast(sum(n) as bigint) as sum_n
+            from s group by rw, grp""",
         "geo_exact_match": f"""
             with g as (
                 select {norm_name} k, post_code, min(place_id) place_id
