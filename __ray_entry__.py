@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_assign": e.q_geo_tile_assign,
         "geo_tile_rollup": e.q_geo_tile_rollup,
         "geo_knn": e.q_geo_knn,
+        "geo_radius_join": e.q_geo_radius_join,
         "geo_batch_geocode": e.q_geo_batch_geocode,
         "geo_documents_pipeline": e.q_geo_documents_pipeline,
         "geo_method_stats": e.q_geo_method_stats,

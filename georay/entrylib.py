@@ -181,6 +181,28 @@ def q_geo_tile_rollup(sf_dir: str):
     return rollup_counts(q_geo_tile_assign(sf_dir), "square_cell")
 
 
+def q_geo_radius_join(sf_dir: str):
+    """All unordered pairs of rank-26 streets within 1 km — the
+    grid-bucketed spatial range join (tiles.radius_join).  dist is
+    dropped from the compared output (float discipline: the oracle
+    compares id pairs; the haversine threshold itself is shared)."""
+    from .tiles import radius_join
+    d = ensure_synth(sf_dir)
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+
+    def streets():
+        ds = ray.data.read_parquet(gaz_path,
+                                   columns=["place_id", "lat", "lon",
+                                            "place_rank"])
+        return ds.map_batches(
+            lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+            batch_format="pyarrow")
+
+    pairs = radius_join(streets(), streets(), 1.0, distinct_pairs=True,
+                        num_partitions=16)
+    return pairs.select_columns(["left_id", "right_id"])
+
+
 def q_geo_knn(sf_dir: str):
     from .geom import haversine_km
     d = ensure_synth(sf_dir)
@@ -1986,6 +2008,16 @@ def build_oracle_sql() -> dict[str, str]:
                   from c, s)
             select q as query_place_id, nb as neighbor_place_id, rnk
             from d where rnk <= 3""",
+        "geo_radius_join": f"""
+            with s as (select place_id, lat, lon from {gaz}
+                       where place_rank = 26)
+            select a.place_id as left_id, b.place_id as right_id
+            from s a, s b
+            where a.place_id < b.place_id
+              and 2*6371.0088*asin(sqrt(
+                    pow(sin(radians(b.lat-a.lat)/2),2)
+                    + cos(radians(a.lat))*cos(radians(b.lat))
+                      *pow(sin(radians(b.lon-a.lon)/2),2))) <= 1.0""",
         "rel_groupby_agg": """
             select l_returnflag, l_linestatus,
                    cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,

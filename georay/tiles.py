@@ -140,3 +140,154 @@ def method_stats(ds: "ray.data.Dataset", method_col: str = "m_method"
     out = (ds.map_batches(fn, batch_format="pyarrow")
              .groupby(method_col).aggregate(Sum("n", alias_name="n")))
     return out.to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Spatial range join (radius join)
+# ---------------------------------------------------------------------------
+
+_KM_PER_DEG_LAT = 110.574
+_KM_PER_DEG_LON_EQ = 111.320
+
+_RJ_SCHEMA = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
+                        ("dist_m", pa.int64())])
+
+
+def _rj_tag(side: int, id_col: str, lat_col: str, lon_col: str,
+            pitch_deg: float, grid_w: int, radius_km: float):
+    """Batch fn: tag one side of the radius join with grid cells.
+
+    side 0 (build) rows go to their home cell only; side 1 (probe) rows
+    are replicated to every cell their radius circle can touch — ±1 cell
+    in lat (pitch ≥ radius by construction) and ±kx in lon, where kx is
+    computed per batch from the batch's worst-case latitude (longitude
+    degrees shrink by cos(lat)).  Each (probe, build) pair therefore
+    meets in exactly ONE partition — the build row's home cell — so no
+    pair dedup pass is needed downstream."""
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        iy = np.floor((lat + 90.0) / pitch_deg).astype(np.int64)
+        ix = np.floor((lon + 180.0) / pitch_deg).astype(np.int64)
+        if side == 0:
+            cell = iy * grid_w + ix
+            return pa.table({
+                "cell": pa.array(cell), "side": pa.array(
+                    np.zeros(len(ids), np.int8)),
+                "rj_id": pa.array(ids), "rj_lat": pa.array(lat),
+                "rj_lon": pa.array(lon)})
+        # probe side: replicate to the (2kx+1) x 3 neighborhood
+        if len(ids) == 0:
+            kx = 0
+        else:
+            worst = min(np.abs(lat).max(), 89.0)
+            reach_deg = radius_km / (_KM_PER_DEG_LON_EQ
+                                     * np.cos(np.radians(worst)))
+            kx = int(np.ceil(reach_deg / pitch_deg))
+        dxs = np.arange(-kx, kx + 1, dtype=np.int64)
+        dys = np.array([-1, 0, 1], dtype=np.int64)
+        rep = len(dxs) * len(dys)
+        cell = ((iy[:, None] + dys[None, :])[:, :, None] * grid_w
+                + (ix[:, None] + dxs[None, :])[:, None, :]).reshape(-1)
+        idx = np.repeat(np.arange(len(ids)), rep)
+        return pa.table({
+            "cell": pa.array(cell),
+            "side": pa.array(np.ones(len(cell), np.int8)),
+            "rj_id": pa.array(ids[idx]), "rj_lat": pa.array(lat[idx]),
+            "rj_lon": pa.array(lon[idx])})
+    return fn
+
+
+def radius_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                radius_km: float, *,
+                left_id_col: str = "place_id", right_id_col: str = "place_id",
+                lat_col: str = "lat", lon_col: str = "lon",
+                distinct_pairs: bool = False,
+                num_partitions: int = 64,
+                chunk_rows: int = 4096) -> "ray.data.Dataset":
+    """All (left, right) pairs within ``radius_km`` great-circle distance —
+    the spatial range join the reference's reverse-geocode validation
+    implies but never distributes.
+
+    Plan (one shuffle, no all-pairs): bucket both sides on a lat/lon grid
+    whose pitch ≥ radius in degrees of latitude; the build (right) side
+    keeps its home cell, the probe (left) side is replicated to the 3×(2kx
+    +1) neighborhood its circle can touch.  One ``grouped_map`` co-locates
+    the cells; inside a partition the candidate matrices are chunked
+    (``chunk_rows``) so memory stays bounded regardless of cell density;
+    exact haversine filters candidates.  Replication factor is the only
+    scale cost and is ≤ 3×(2kx+1) (kx = 1 below ~60° latitude).
+
+    Skew: a hot cell costs one dense (probes × builds) scan — bounded by
+    point density × cell area, chunked, never materialized whole.  Not
+    antimeridian-safe (documented; regional data).
+
+    ``distinct_pairs=True`` keeps only left_id < right_id — the self-join
+    "all pairs within R" form with each unordered pair reported once.
+
+    Returns columns: left_id, right_id (int64), dist_m (floor meters).
+    """
+    pitch_deg = radius_km / _KM_PER_DEG_LAT
+    grid_w = int(np.ceil(360.0 / pitch_deg)) + 4
+
+    from .geom import haversine_km
+    from .shuffle import grouped_map
+
+    build = right.map_batches(
+        _rj_tag(0, right_id_col, lat_col, lon_col, pitch_deg, grid_w,
+                radius_km), batch_format="pyarrow")
+    probe = left.map_batches(
+        _rj_tag(1, left_id_col, lat_col, lon_col, pitch_deg, grid_w,
+                radius_km), batch_format="pyarrow")
+
+    def match_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _RJ_SCHEMA.empty_table()
+        cell = df["cell"].to_numpy()
+        order = np.argsort(cell, kind="mergesort")
+        cell = cell[order]
+        side = df["side"].to_numpy()[order]
+        ids = df["rj_id"].to_numpy()[order]
+        lat = df["rj_lat"].to_numpy()[order]
+        lon = df["rj_lon"].to_numpy()[order]
+        bounds = np.flatnonzero(np.diff(cell)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(cell)]))
+        out_l, out_r, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            sl = side[s:e]
+            pm = sl == 1
+            bm = ~pm
+            if not pm.any() or not bm.any():
+                continue
+            pl_id, pl_la, pl_lo = ids[s:e][pm], lat[s:e][pm], lon[s:e][pm]
+            bl_id, bl_la, bl_lo = ids[s:e][bm], lat[s:e][bm], lon[s:e][bm]
+            for c0 in range(0, len(pl_id), chunk_rows):
+                c1 = min(c0 + chunk_rows, len(pl_id))
+                dm = haversine_km(pl_la[c0:c1, None], pl_lo[c0:c1, None],
+                                  bl_la[None, :], bl_lo[None, :])
+                hit = dm <= radius_km
+                if distinct_pairs:
+                    hit &= pl_id[c0:c1, None] < bl_id[None, :]
+                pi, bi = np.nonzero(hit)
+                if len(pi):
+                    out_l.append(pl_id[c0:c1][pi])
+                    out_r.append(bl_id[bi])
+                    out_d.append(np.floor(dm[pi, bi] * 1000.0)
+                                 .astype(np.int64))
+        if not out_l:
+            return _RJ_SCHEMA.empty_table()
+        return pa.table({"left_id": pa.array(np.concatenate(out_l)),
+                         "right_id": pa.array(np.concatenate(out_r)),
+                         "dist_m": pa.array(np.concatenate(out_d))})
+
+    both = build.union(probe)
+    out = grouped_map(both, "cell", match_partition,
+                      num_partitions=num_partitions, group_fn=False)
+    # empty shuffle partitions skip the UDF and forward zero-column
+    # blocks; restore the typed schema so an all-empty result still
+    # carries (left_id, right_id, dist_m)
+    return out.map_batches(
+        lambda b: b if b.num_columns else _RJ_SCHEMA.empty_table(),
+        batch_format="pyarrow")

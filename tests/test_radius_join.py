@@ -1,0 +1,87 @@
+"""Spatial range join tests (tiles.radius_join) — verified against a
+brute-force all-pairs haversine on the same points."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from georay.geom import haversine_km
+from georay.tiles import radius_join
+
+
+def _points(n, seed, lat0=49.5, lat1=51.5, lon0=2.5, lon1=6.4):
+    rng = np.random.default_rng(seed)
+    return {"place_id": np.arange(n, dtype=np.int64),
+            "lat": rng.uniform(lat0, lat1, n),
+            "lon": rng.uniform(lon0, lon1, n)}
+
+
+def _brute_pairs(L, R, radius_km, distinct=False):
+    dm = haversine_km(L["lat"][:, None], L["lon"][:, None],
+                      R["lat"][None, :], R["lon"][None, :])
+    hit = dm <= radius_km
+    if distinct:
+        hit &= L["place_id"][:, None] < R["place_id"][None, :]
+    li, ri = np.nonzero(hit)
+    return set(zip(L["place_id"][li].tolist(), R["place_id"][ri].tolist()))
+
+
+def test_radius_join_self_matches_brute(ray_session):
+    pts = _points(400, seed=7)
+    ds = ray.data.from_arrow(__import__("pyarrow").table(pts))
+    got = radius_join(ds, ds, 5.0, distinct_pairs=True,
+                      num_partitions=8).to_pandas()
+    want = _brute_pairs(pts, pts, 5.0, distinct=True)
+    assert set(zip(got["left_id"], got["right_id"])) == want
+    # pairs are unique (each unordered pair reported exactly once)
+    assert len(got) == len(want)
+    # dist_m is a genuine floor-meter distance
+    assert (got["dist_m"] >= 0).all() and (got["dist_m"] <= 5000).all()
+
+
+def test_radius_join_two_sided(ray_session):
+    import pyarrow as pa
+    L = _points(150, seed=1)
+    R = _points(90, seed=2)
+    R["place_id"] = R["place_id"] + 10_000  # disjoint id space
+    got = radius_join(ray.data.from_arrow(pa.table(L)),
+                      ray.data.from_arrow(pa.table(R)),
+                      8.0, num_partitions=8).to_pandas()
+    want = _brute_pairs(L, R, 8.0)
+    assert set(zip(got["left_id"], got["right_id"])) == want
+
+
+def test_radius_join_empty_result(ray_session):
+    import pyarrow as pa
+    L = _points(5, seed=3, lat0=49.5, lat1=49.6, lon0=2.5, lon1=2.6)
+    R = _points(5, seed=4, lat0=51.0, lat1=51.1, lon0=6.0, lon1=6.1)
+    out = radius_join(ray.data.from_arrow(pa.table(L)),
+                      ray.data.from_arrow(pa.table(R)),
+                      1.0, num_partitions=4)
+    # every emitted block stays schema-stable even with zero rows
+    # (Ray's Dataset.to_pandas/schema() degrade on an all-empty
+    # dataset, so assert on the actual Arrow blocks, which is what
+    # downstream operators consume)
+    tabs = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    assert sum(t.num_rows for t in tabs) == 0
+    for t in tabs:
+        assert t.schema.names == ["left_id", "right_id", "dist_m"]
+
+
+def test_radius_join_boundary_cells(ray_session):
+    """Points straddling a grid-cell boundary still pair up (the probe
+    replication covers the neighbor cells)."""
+    import pyarrow as pa
+    # pitch at 1 km is ~0.00904 deg; put two points ~0.9 km apart across
+    # a cell boundary in both axes
+    pts = {"place_id": np.array([1, 2], dtype=np.int64),
+           "lat": np.array([50.000000, 50.008]),
+           "lon": np.array([4.000000, 4.002])}
+    d = float(haversine_km(pts["lat"][0], pts["lon"][0],
+                           pts["lat"][1], pts["lon"][1]))
+    assert d < 1.0
+    ds = ray.data.from_arrow(pa.table(pts))
+    got = radius_join(ds, ds, 1.0, distinct_pairs=True,
+                      num_partitions=4).to_pandas()
+    assert set(zip(got["left_id"], got["right_id"])) == {(1, 2)}
