@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_tile_rollup": e.q_geo_tile_rollup,
         "geo_knn": e.q_geo_knn,
         "geo_radius_join": e.q_geo_radius_join,
+        "geo_nearest_join": e.q_geo_nearest_join,
+        "geo_quad_assign": e.q_geo_quad_assign,
+        "geo_bbox_agg": e.q_geo_bbox_agg,
         "geo_batch_geocode": e.q_geo_batch_geocode,
         "geo_documents_pipeline": e.q_geo_documents_pipeline,
         "geo_method_stats": e.q_geo_method_stats,

@@ -203,6 +203,79 @@ def q_geo_radius_join(sf_dir: str):
     return pairs.select_columns(["left_id", "right_id"])
 
 
+def q_geo_nearest_join(sf_dir: str):
+    """Nearest other street within 1 km per street (reverse-geocode
+    primitive, tiles.nearest_join): grid-bucketed argmin, ties by
+    smaller right id."""
+    from .tiles import nearest_join
+    d = ensure_synth(sf_dir)
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+
+    def streets():
+        ds = ray.data.read_parquet(gaz_path,
+                                   columns=["place_id", "lat", "lon",
+                                            "place_rank"])
+        return ds.map_batches(
+            lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+            batch_format="pyarrow")
+
+    best = nearest_join(streets(), streets(), 1.0, exclude_self=True,
+                        num_partitions=16)
+    return best.select_columns(["left_id", "right_id"])
+
+
+def q_geo_quad_assign(sf_dir: str):
+    """S2-style quadtree cell + its parent per gazetteer point — the
+    north rule's S2 cross-check leg, oracled down to the bit-interleave
+    arithmetic (cells.quad_cell / quad_parent replicated in SQL)."""
+    from .cells import quad_cell, quad_parent
+    d = ensure_synth(sf_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        c = quad_cell(lat, lon, 18)
+        return pa.table({"place_id": batch["place_id"],
+                         "qcell": pa.array(c),
+                         "qparent": pa.array(quad_parent(c))})
+
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["place_id", "lat", "lon"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_geo_bbox_agg(sf_dir: str):
+    """Per-postcode bounding box + count over streets: per-batch pyarrow
+    hash-agg partials (micro-degree ints), one small groupby merge."""
+    from ray.data.aggregate import Max, Min, Sum
+    d = ensure_synth(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.equal(batch["place_rank"], 26))
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        t = pa.table({
+            "post_code": batch["post_code"],
+            "lat_u": pa.array(np.floor(lat * 1e6).astype(np.int64)),
+            "lon_u": pa.array(np.floor(lon * 1e6).astype(np.int64))})
+        g = t.group_by("post_code").aggregate(
+            [("lat_u", "min"), ("lat_u", "max"),
+             ("lon_u", "min"), ("lon_u", "max"), ([], "count_all")])
+        return g.rename_columns(["post_code", "lat_min", "lat_max",
+                                 "lon_min", "lon_max", "n"])
+
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["post_code", "lat", "lon", "place_rank"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("post_code").aggregate(
+        Min("lat_min", alias_name="lat_min"),
+        Max("lat_max", alias_name="lat_max"),
+        Min("lon_min", alias_name="lon_min"),
+        Max("lon_max", alias_name="lon_max"),
+        Sum("n", alias_name="n"))
+
+
 def q_geo_knn(sf_dir: str):
     from .geom import haversine_km
     d = ensure_synth(sf_dir)
@@ -2018,6 +2091,48 @@ def build_oracle_sql() -> dict[str, str]:
                     pow(sin(radians(b.lat-a.lat)/2),2)
                     + cos(radians(a.lat))*cos(radians(b.lat))
                       *pow(sin(radians(b.lon-a.lon)/2),2))) <= 1.0""",
+        "geo_nearest_join": f"""
+            with s as (select place_id, lat, lon from {gaz}
+                       where place_rank = 26),
+            d as (select a.place_id l, b.place_id r,
+                         row_number() over (partition by a.place_id order by
+                           2*6371.0088*asin(sqrt(
+                             pow(sin(radians(b.lat-a.lat)/2),2)
+                             + cos(radians(a.lat))*cos(radians(b.lat))
+                               *pow(sin(radians(b.lon-a.lon)/2),2)))
+                           asc, b.place_id asc) rn
+                  from s a, s b
+                  where a.place_id <> b.place_id
+                    and 2*6371.0088*asin(sqrt(
+                          pow(sin(radians(b.lat-a.lat)/2),2)
+                          + cos(radians(a.lat))*cos(radians(b.lat))
+                            *pow(sin(radians(b.lon-a.lon)/2),2))) <= 1.0)
+            select l as left_id, r as right_id from d where rn = 1""",
+        "geo_quad_assign": f"""
+            with p as (select place_id,
+              least(greatest(cast(floor((lon+180.0)/360.0*262144)
+                    as bigint), 0), 262143) x,
+              least(greatest(cast(floor((lat+90.0)/180.0*262144)
+                    as bigint), 0), 262143) y
+              from {gaz})
+            select place_id,
+              (cast(18 as bigint) << 56)
+               | cast(list_sum([(((x >> i) & 1) << (2*i))
+                   + (((y >> i) & 1) << (2*i+1))
+                   for i in range(0,18)]) as bigint) as qcell,
+              (cast(17 as bigint) << 56)
+               | cast(list_sum([((((x>>1) >> i) & 1) << (2*i))
+                   + ((((y>>1) >> i) & 1) << (2*i+1))
+                   for i in range(0,17)]) as bigint) as qparent
+            from p""",
+        "geo_bbox_agg": f"""
+            select post_code,
+                   min(cast(floor(lat*1000000) as bigint)) as lat_min,
+                   max(cast(floor(lat*1000000) as bigint)) as lat_max,
+                   min(cast(floor(lon*1000000) as bigint)) as lon_min,
+                   max(cast(floor(lon*1000000) as bigint)) as lon_max,
+                   count(*) as n
+            from {gaz} where place_rank = 26 group by 1""",
         "rel_groupby_agg": """
             select l_returnflag, l_linestatus,
                    cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,

@@ -291,3 +291,116 @@ def radius_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     return out.map_batches(
         lambda b: b if b.num_columns else _RJ_SCHEMA.empty_table(),
         batch_format="pyarrow")
+
+
+_NJ_SCHEMA = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
+                        ("dist_m", pa.int64())])
+
+
+def nearest_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+                 radius_km: float, *,
+                 left_id_col: str = "place_id",
+                 right_id_col: str = "place_id",
+                 lat_col: str = "lat", lon_col: str = "lon",
+                 exclude_self: bool = False,
+                 num_partitions: int = 64,
+                 chunk_rows: int = 4096) -> "ray.data.Dataset":
+    """Nearest right-side point within ``radius_km`` for every left point
+    (the distributed reverse-geocode primitive; ties broken by smaller
+    right id).  Left rows with no neighbor in range are absent from the
+    output — the radius bounds both the answer and the search cost.
+
+    Plan: the same grid bucketing as ``radius_join`` (build side home-
+    celled, probe side replicated to the reachable neighborhood), but
+    each partition emits at most ONE candidate per probe row it saw
+    (per-partition argmin over chunked haversine matrices, carrying the
+    exact float distance), then a second, candidate-sized shuffle picks
+    the global min per probe — the reduce input is bounded by probes ×
+    replication factor, never by build-side size."""
+    pitch_deg = radius_km / _KM_PER_DEG_LAT
+    grid_w = int(np.ceil(360.0 / pitch_deg)) + 4
+
+    from .geom import haversine_km
+    from .shuffle import grouped_map
+
+    build = right.map_batches(
+        _rj_tag(0, right_id_col, lat_col, lon_col, pitch_deg, grid_w,
+                radius_km), batch_format="pyarrow")
+    probe = left.map_batches(
+        _rj_tag(1, left_id_col, lat_col, lon_col, pitch_deg, grid_w,
+                radius_km), batch_format="pyarrow")
+
+    cand_schema = pa.schema([("left_id", pa.int64()),
+                             ("right_id", pa.int64()),
+                             ("dist_km", pa.float64())])
+
+    def partial_best(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return cand_schema.empty_table()
+        cell = df["cell"].to_numpy()
+        order = np.argsort(cell, kind="mergesort")
+        cell = cell[order]
+        side = df["side"].to_numpy()[order]
+        ids = df["rj_id"].to_numpy()[order]
+        lat = df["rj_lat"].to_numpy()[order]
+        lon = df["rj_lon"].to_numpy()[order]
+        bounds = np.flatnonzero(np.diff(cell)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(cell)]))
+        out_l, out_r, out_d = [], [], []
+        for s, e in zip(starts, ends):
+            sl = side[s:e]
+            pm = sl == 1
+            bm = ~pm
+            if not pm.any() or not bm.any():
+                continue
+            pl_id, pl_la, pl_lo = ids[s:e][pm], lat[s:e][pm], lon[s:e][pm]
+            bl_id, bl_la, bl_lo = ids[s:e][bm], lat[s:e][bm], lon[s:e][bm]
+            for c0 in range(0, len(pl_id), chunk_rows):
+                c1 = min(c0 + chunk_rows, len(pl_id))
+                dm = haversine_km(pl_la[c0:c1, None], pl_lo[c0:c1, None],
+                                  bl_la[None, :], bl_lo[None, :])
+                bad = dm > radius_km
+                if exclude_self:
+                    bad |= pl_id[c0:c1, None] == bl_id[None, :]
+                # argmin by (dist, right_id): mask invalid with +inf,
+                # and among equal distances prefer the smaller id by
+                # scanning ids in ascending order (stable argmin on a
+                # id-sorted build side)
+                id_order = np.argsort(bl_id, kind="mergesort")
+                dm_s = np.where(bad, np.inf, dm)[:, id_order]
+                j = np.argmin(dm_s, axis=1)
+                d = dm_s[np.arange(len(j)), j]
+                keep = np.isfinite(d)
+                if keep.any():
+                    out_l.append(pl_id[c0:c1][keep])
+                    out_r.append(bl_id[id_order][j[keep]])
+                    out_d.append(d[keep])
+        if not out_l:
+            return cand_schema.empty_table()
+        return pa.table({"left_id": pa.array(np.concatenate(out_l)),
+                         "right_id": pa.array(np.concatenate(out_r)),
+                         "dist_km": pa.array(np.concatenate(out_d))})
+
+    both = build.union(probe)
+    cands = grouped_map(both, "cell", partial_best,
+                        num_partitions=num_partitions, group_fn=False)
+
+    def global_best(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _NJ_SCHEMA.empty_table()
+        df = df.sort_values(["left_id", "dist_km", "right_id"],
+                            kind="mergesort")
+        best = df.drop_duplicates("left_id", keep="first")
+        return pa.table({
+            "left_id": pa.array(best["left_id"].to_numpy(np.int64)),
+            "right_id": pa.array(best["right_id"].to_numpy(np.int64)),
+            "dist_m": pa.array(np.floor(best["dist_km"].to_numpy()
+                                        * 1000.0).astype(np.int64))})
+
+    out = grouped_map(cands, "left_id", global_best,
+                      num_partitions=max(8, num_partitions // 4),
+                      group_fn=False)
+    return out.map_batches(
+        lambda b: b if b.num_columns else _NJ_SCHEMA.empty_table(),
+        batch_format="pyarrow")

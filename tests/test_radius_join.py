@@ -85,3 +85,23 @@ def test_radius_join_boundary_cells(ray_session):
     got = radius_join(ds, ds, 1.0, distinct_pairs=True,
                       num_partitions=4).to_pandas()
     assert set(zip(got["left_id"], got["right_id"])) == {(1, 2)}
+
+
+def test_nearest_join_matches_brute(ray_session):
+    import pyarrow as pa
+    from georay.tiles import nearest_join
+    pts = _points(300, seed=11)
+    ds = ray.data.from_arrow(pa.table(pts))
+    got = nearest_join(ds, ds, 3.0, exclude_self=True,
+                       num_partitions=8).to_pandas()
+    dm = haversine_km(pts["lat"][:, None], pts["lon"][:, None],
+                      pts["lat"][None, :], pts["lon"][None, :])
+    np.fill_diagonal(dm, np.inf)
+    want = {}
+    for i in range(len(pts["place_id"])):
+        j = np.lexsort((pts["place_id"], dm[i]))[0]
+        if dm[i, j] <= 3.0:
+            want[int(pts["place_id"][i])] = int(pts["place_id"][j])
+    assert dict(zip(got["left_id"], got["right_id"])) == want
+    # exactly one row per left id
+    assert got["left_id"].is_unique
