@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_nearest_join": e.q_geo_nearest_join,
         "geo_quad_assign": e.q_geo_quad_assign,
         "geo_bbox_agg": e.q_geo_bbox_agg,
+        "geo_polygon_area": e.q_geo_polygon_area,
+        "rel_median_per_key": e.q_rel_median_per_key,
         "geo_batch_geocode": e.q_geo_batch_geocode,
         "geo_documents_pipeline": e.q_geo_documents_pipeline,
         "geo_method_stats": e.q_geo_method_stats,
@@ -84,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": e.q_doc_langid,
         "doc_fingerprint": e.q_doc_fingerprint,
         "doc_vocab_topk": e.q_doc_vocab_topk,
+        "doc_hll_registers": e.q_doc_hll_registers,
         "doc_sample_per_lang": e.q_doc_sample_per_lang,
         "doc_length_quantiles": e.q_doc_length_quantiles,
         "doc_minhash_pairs": e.q_doc_minhash_pairs,

@@ -276,6 +276,66 @@ def q_geo_bbox_agg(sf_dir: str):
         Sum("n", alias_name="n"))
 
 
+def q_geo_polygon_area(sf_dir: str):
+    """Exact polygon area (2×, micro-degree² ints) per admin boundary
+    via the shoelace formula in pure int64 — bit-exact vs the SQL
+    list-comprehension recomputation (no float summation order risk)."""
+    d = ensure_synth(sf_dir)
+
+    def area(batch: pa.Table) -> pa.Table:
+        idx = batch["bnd_idx"].to_numpy(zero_copy_only=False)
+        out = np.zeros(len(idx), dtype=np.int64)
+        lats = batch["ring_lat"].to_pylist()
+        lons = batch["ring_lon"].to_pylist()
+        for i, (la, lo) in enumerate(zip(lats, lons)):
+            ys = np.floor(np.asarray(la) * 1e6).astype(np.int64)
+            xs = np.floor(np.asarray(lo) * 1e6).astype(np.int64)
+            xn = np.roll(xs, -1)
+            yn = np.roll(ys, -1)
+            out[i] = abs(int(np.sum(xs * yn - xn * ys)))
+        return pa.table({"bnd_idx": pa.array(idx.astype(np.int64)),
+                         "area2_u": pa.array(out)})
+
+    ds = ray.data.read_parquet(os.path.join(d, "boundaries.parquet"),
+                               columns=["bnd_idx", "ring_lat", "ring_lon"])
+    return ds.map_batches(area, batch_format="pyarrow")
+
+
+def q_rel_median_per_key(sf_dir: str):
+    """Per-customer lower-median order price in integer cents: one
+    co-partitioned shuffle, vectorized in-partition groupby-quantile
+    (sort once per partition, pick element (n-1)//2 per group)."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64))})
+
+    out_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("med_cents", pa.int64())])
+
+    def med(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["o_custkey", "cents"], kind="mergesort")
+        key = df["o_custkey"].to_numpy()
+        cents = df["cents"].to_numpy()
+        bounds = np.flatnonzero(np.diff(key)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(key)]))
+        pick = starts + (ends - starts - 1) // 2
+        return pa.table({"o_custkey": pa.array(key[starts].astype(np.int64)),
+                         "med_cents": pa.array(cents[pick].astype(np.int64))})
+
+    cents = ds.map_batches(add_cents, batch_format="pyarrow")
+    return grouped_map(cents, "o_custkey", med, num_partitions=32,
+                       group_fn=False)
+
+
 def q_geo_knn(sf_dir: str):
     from .geom import haversine_km
     d = ensure_synth(sf_dir)
@@ -1168,6 +1228,17 @@ def q_doc_vocab_topk(sf_dir: str, k: int = 50):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                                columns=["doc_id", "text"])
     return vocab_topk(ds, k=k)
+
+
+def q_doc_hll_registers(sf_dir: str):
+    """HyperLogLog registers (p=10) over the corpus token vocabulary —
+    the sketch ITSELF is compared, not the estimate: registers are
+    deterministic given the md5_number_upper hash, so DuckDB recomputes
+    every (bucket, max rho) row bit-for-bit."""
+    from .ops.sketch import hll_registers
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return hll_registers(ds, p=10)
 
 
 def q_doc_length_quantiles(sf_dir: str):
@@ -2133,6 +2204,29 @@ def build_oracle_sql() -> dict[str, str]:
                    max(cast(floor(lon*1000000) as bigint)) as lon_max,
                    count(*) as n
             from {gaz} where place_rank = 26 group by 1""",
+        "geo_polygon_area": f"""
+            with b as (select bnd_idx,
+              [cast(floor(x*1000000) as bigint) for x in ring_lon] xs,
+              [cast(floor(y*1000000) as bigint) for y in ring_lat] ys,
+              len(ring_lat) n
+              from read_parquet('{s01}/boundaries.parquet'))
+            select bnd_idx,
+                   cast(abs(list_sum([xs[i]*ys[i % n + 1]
+                                      - xs[i % n + 1]*ys[i]
+                                      for i in range(1, n + 1)]))
+                        as bigint) as area2_u
+            from b""",
+        "rel_median_per_key": """
+            with c as (select o_custkey,
+                          cast(floor(o_totalprice*100+0.5) as bigint) cents
+                       from orders),
+            r as (select o_custkey, cents,
+                         row_number() over (partition by o_custkey
+                                            order by cents) rn,
+                         count(*) over (partition by o_custkey) n
+                  from c)
+            select o_custkey, cents as med_cents
+            from r where rn = (n + 1) // 2""",
         "rel_groupby_agg": """
             select l_returnflag, l_linestatus,
                    cast(sum(cast(l_quantity as bigint)) as bigint) as sum_qty,
@@ -2255,6 +2349,24 @@ def build_oracle_sql() -> dict[str, str]:
             select token, cast(count(*) as bigint) as n
             from toks group by token
             order by n desc, token limit 50""",
+        "doc_hll_registers": r"""
+            with toks as (
+              select distinct lower(u.tok) as token
+              from documents,
+                   unnest(regexp_extract_all(text, '\w+')) u(tok)),
+            h as (select cast(md5_number_upper(token) as ubigint) hv
+                  from toks),
+            r as (select cast(hv >> 54 as bigint) bucket,
+                         cast(hv & cast(18014398509481983 as ubigint)
+                              as ubigint) w
+                  from h),
+            rr as (select bucket,
+                          coalesce(list_min([i for i in range(1, 55)
+                            if ((w >> (54 - i)) & cast(1 as ubigint))
+                               = cast(1 as ubigint)]), 55) rho
+                   from r)
+            select bucket, cast(max(rho) as bigint) as rho
+            from rr group by bucket""",
         "doc_length_quantiles": r"""
             with lens as (
               select cast(length(text) as bigint) as v from documents),

@@ -598,3 +598,53 @@ def test_duplicate_spans_sampling_subset(ray_session):
     # digit is < 4 — a deterministic subset of the full result
     assert set(samp.gram_md5) == {
         g for g in full.gram_md5 if int(g[0], 16) < 4}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog sketch (ops/sketch.py)
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_accuracy(ray_session):
+    """20k distinct values at p=12: the deterministic estimate must land
+    within 5% of exact (std error ≈ 1.6%; fixed hash ⇒ fixed result)."""
+    import pyarrow as pa
+    import ray.data
+    from georay.ops.sketch import hll_estimate, hll_registers
+    n = 20_000
+    vals = [f"value-{i}" for i in range(n)] * 2  # every value twice
+    ds = ray.data.from_arrow(pa.table({"text": vals}))
+    regs = hll_registers(ds, p=12, tokenize=False).to_pandas()
+    est = hll_estimate(regs, p=12)
+    assert abs(est - n) / n < 0.05
+
+
+def test_hll_registers_merge_invariant(ray_session):
+    """Registers are a mergeable summary: sketching the union equals
+    max-merging per-part sketches."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from georay.ops.sketch import hll_registers
+    a = [f"a-{i}" for i in range(500)]
+    b = [f"b-{i}" for i in range(300)] + a[:100]
+    whole = hll_registers(
+        ray.data.from_arrow(pa.table({"text": a + b})),
+        p=8, tokenize=False).to_pandas()
+    pa_ = hll_registers(ray.data.from_arrow(pa.table({"text": a})),
+                        p=8, tokenize=False).to_pandas()
+    pb_ = hll_registers(ray.data.from_arrow(pa.table({"text": b})),
+                        p=8, tokenize=False).to_pandas()
+    merged = (pd.concat([pa_, pb_]).groupby("bucket", as_index=False)["rho"]
+              .max())
+    w = whole.sort_values("bucket").reset_index(drop=True)
+    m = merged.sort_values("bucket").reset_index(drop=True)
+    assert w.equals(m.astype({"bucket": "int64", "rho": "int64"}))
+
+
+def test_hll_bit_length_exact():
+    import numpy as np
+    from georay.ops.sketch import _bit_length_u64
+    vals = np.array([0, 1, 2, 3, 4, 2**10, 2**10 - 1, 2**53, 2**53 - 1,
+                     2**63, 2**64 - 1], dtype=np.uint64)
+    want = np.array([int(v).bit_length() for v in vals.tolist()])
+    assert np.array_equal(_bit_length_u64(vals), want)
