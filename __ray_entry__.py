@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_asof_join": e.q_rel_asof_join,
         "rel_events_daily": e.q_rel_events_daily,
         "rel_window_7d": e.q_rel_window_7d,
+        "rel_cumsum": e.q_rel_cumsum,
+        "rel_semi_join": e.q_rel_semi_join,
+        "rel_grouping_sets": e.q_rel_grouping_sets,
         # document / embedding training-data ops (testdata)
         "doc_dedup_exact": e.q_doc_dedup_exact,
         "doc_token_stats": e.q_doc_token_stats,

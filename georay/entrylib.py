@@ -1160,6 +1160,141 @@ def q_rel_events_daily(sf_dir: str):
             .aggregate(Sum("n", alias_name="n")))
 
 
+def q_rel_cumsum(sf_dir: str):
+    """Per-customer running order total (SUM OVER (PARTITION BY customer
+    ORDER BY date, key)): co-partition by customer, ONE hash shuffle,
+    in-partition sort + vectorized grouped cumsum.  Integer cents
+    end-to-end so every running prefix is bit-exact vs the SQL window
+    oracle (no float summation-order risk)."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_orderkey",
+                                        "o_orderdate", "o_totalprice"])
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": batch["o_custkey"],
+            "o_orderkey": batch["o_orderkey"],
+            "o_orderdate": batch["o_orderdate"],
+            "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64))})
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("run_cents", pa.int64())])
+
+    def run(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        cum = df.groupby("o_custkey", sort=False)["cents"].cumsum()
+        return pa.table({
+            "o_orderkey": pa.array(df["o_orderkey"].to_numpy(), pa.int64()),
+            "run_cents": pa.array(cum.to_numpy(), pa.int64())})
+
+    cents = ds.map_batches(add_cents, batch_format="pyarrow")
+    return grouped_map(cents, "o_custkey", run, num_partitions=32,
+                       group_fn=False)
+
+
+def q_rel_semi_join(sf_dir: str):
+    """Co-partitioned semi-join (customers WITH at least one finished
+    'F' order): the dual of q_rel_anti_join — tag + union the two key
+    streams, ONE hash shuffle, emit probe keys whose partition DOES
+    hold a build-side row.  Build side is locally deduped map-side so
+    the shuffle moves distinct keys; no key set on the driver."""
+    import pyarrow.compute as pc
+
+    from .shuffle import grouped_map
+
+    def tag(col: str, side: int, pred=None):
+        def fn(batch: pa.Table) -> pa.Table:
+            if pred is not None:
+                batch = pred(batch)
+            keys = batch[col]
+            if side == 1:
+                keys = pc.unique(keys)
+            return pa.table({"k": keys,
+                             "_side": pa.array(
+                                 np.full(len(keys), side, dtype=np.int8))})
+        return fn
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey"]).map_batches(tag("c_custkey", 0),
+                                           batch_format="pyarrow")
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus"]).map_batches(
+        tag("o_custkey", 1,
+            pred=lambda b: b.filter(
+                pc.equal(b["o_orderstatus"], "F"))),
+        batch_format="pyarrow")
+
+    def semi(df: pd.DataFrame) -> pa.Table:
+        have = df.loc[df["_side"] == 1, "k"]
+        probe = df.loc[df["_side"] == 0, "k"]
+        keep = probe[probe.isin(have)].to_numpy()
+        return pa.table({"c_custkey": pa.array(keep, pa.int64())})
+
+    out = grouped_map(cust.union(orders), "k", semi, num_partitions=32,
+                      group_fn=False)
+    out = out.materialize()
+    if out.count() == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64())})
+    return out
+
+
+def q_rel_grouping_sets(sf_dir: str):
+    """GROUPING SETS ((status, priority), (status), ()) in ONE input
+    pass: every batch emits map-side partial aggregates at all three
+    granularities (rolled-up keys take the '(all)' sentinel), then one
+    small groupby merges the partials — the multi-granularity rollup
+    costs one scan plus a (distinct groups × blocks)-sized shuffle
+    instead of three separate jobs over the full table."""
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    out_schema = pa.schema([("o_orderstatus", pa.string()),
+                            ("o_orderpriority", pa.string()),
+                            ("sum_c", pa.int64()), ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        df = batch.to_pandas()
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        outs = []
+        for keys in (["o_orderstatus", "o_orderpriority"],
+                     ["o_orderstatus"], []):
+            if keys:
+                g = (df.groupby(keys, sort=False)["cents"]
+                     .agg(sum_c="sum", n="size").reset_index())
+            else:
+                g = pd.DataFrame({"sum_c": [df["cents"].sum()],
+                                  "n": [len(df)]})
+            for col in ("o_orderstatus", "o_orderpriority"):
+                if col not in g.columns:
+                    g[col] = "(all)"
+            outs.append(g[["o_orderstatus", "o_orderpriority",
+                           "sum_c", "n"]])
+        allp = pd.concat(outs, ignore_index=True)
+        return pa.table({
+            "o_orderstatus": pa.array(allp["o_orderstatus"], pa.string()),
+            "o_orderpriority": pa.array(allp["o_orderpriority"],
+                                        pa.string()),
+            "sum_c": pa.array(allp["sum_c"].to_numpy(), pa.int64()),
+            "n": pa.array(allp["n"].to_numpy(), pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (partials.groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("sum_c", alias_name="sum_c"),
+                       Sum("n", alias_name="n")))
+
+
 # ---------------------------------------------------------------------------
 # document / embedding ops (testdata tables)
 
@@ -2304,6 +2439,27 @@ def build_oracle_sql() -> dict[str, str]:
             select event_type, strftime(ts, '%Y-%m-%d') as day,
                    count(*) as n
             from events group by 1, 2""",
+        "rel_cumsum": """
+            select o_orderkey,
+                   cast(sum(cast(floor(o_totalprice*100+0.5) as bigint))
+                        over (partition by o_custkey
+                              order by o_orderdate, o_orderkey)
+                        as bigint) as run_cents
+            from orders""",
+        "rel_semi_join": """
+            select c_custkey from customer
+            where exists (select 1 from orders
+                          where o_custkey = c_custkey
+                            and o_orderstatus = 'F')""",
+        "rel_grouping_sets": """
+            select coalesce(o_orderstatus, '(all)') as o_orderstatus,
+                   coalesce(o_orderpriority, '(all)') as o_orderpriority,
+                   cast(sum(cast(floor(o_totalprice*100+0.5) as bigint))
+                        as bigint) as sum_c,
+                   count(*) as n
+            from orders
+            group by grouping sets ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())""",
         "doc_dedup_exact": """
             with k as (select doc_id, md5(text) content_key from documents),
             g as (select doc_id,
