@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_nearest_join": e.q_geo_nearest_join,
         "geo_quad_assign": e.q_geo_quad_assign,
         "geo_bbox_agg": e.q_geo_bbox_agg,
+        "geo_dbscan": e.q_geo_dbscan,
         "geo_polygon_area": e.q_geo_polygon_area,
         "rel_median_per_key": e.q_rel_median_per_key,
         "geo_batch_geocode": e.q_geo_batch_geocode,
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii_scrub": e.q_doc_pii_scrub,
         "doc_chunk": e.q_doc_chunk,
         "doc_tfidf_top": e.q_doc_tfidf_top,
+        "doc_familiarity": e.q_doc_familiarity,
         "doc_dup_spans": e.q_doc_dup_spans,
         "emb_topk_brute": e.q_emb_topk_brute,
         "emb_knn_graph": e.q_emb_knn_graph,

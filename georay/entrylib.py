@@ -301,6 +301,25 @@ def q_geo_polygon_area(sf_dir: str):
     return ds.map_batches(area, batch_format="pyarrow")
 
 
+def q_geo_dbscan(sf_dir: str):
+    """Distributed grid-based DBSCAN over rank-26 streets (eps = 1 km,
+    min_pts = 3): eps-graph via the bucketed radius join, core points by
+    degree, cluster labels by min-label connected components over the
+    core-core subgraph, borders attached to their minimum-labeled core
+    neighbor.  Oracle = the same haversine eps-graph recomputed by SQL
+    cross join + a recursive-CTE transitive closure (cluster.py)."""
+    from .cluster import dbscan
+    d = ensure_synth(sf_dir)
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+    ds = ray.data.read_parquet(gaz_path,
+                               columns=["place_id", "lat", "lon",
+                                        "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+    return dbscan(streets, 1.0, 3, num_partitions=8)
+
+
 def q_rel_median_per_key(sf_dir: str):
     """Per-customer lower-median order price in integer cents: one
     co-partitioned shuffle, vectorized in-partition groupby-quantile
@@ -1625,6 +1644,21 @@ def q_doc_tfidf_top(sf_dir: str):
     return tfidf_top_terms(ds, ref, n_top=3)
 
 
+def q_doc_familiarity(sf_dir: str):
+    """Per-doc unigram-LM familiarity (sum of corpus occurrence counts
+    over the doc's tokens, integer-exact): corpus counts via map-side
+    combine, ``ray.put`` broadcast, one stateless corpus pass."""
+    import ray
+
+    from .ops.text import corpus_token_counts, unigram_familiarity
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    cnt_pdf = corpus_token_counts(ds).to_pandas()
+    counts = dict(zip(cnt_pdf["token"], cnt_pdf["sum(n)"].astype(int)))
+    ref = ray.put(counts)
+    return unigram_familiarity(ds, ref)
+
+
 def q_doc_dup_spans(sf_dir: str):
     """Exact substring dedup signal: 16-token grams present in >= 2
     distinct documents, via map-side per-doc combine + ONE gram-hash
@@ -2297,6 +2331,41 @@ def build_oracle_sql() -> dict[str, str]:
                     pow(sin(radians(b.lat-a.lat)/2),2)
                     + cos(radians(a.lat))*cos(radians(b.lat))
                       *pow(sin(radians(b.lon-a.lon)/2),2))) <= 1.0""",
+        "geo_dbscan": f"""
+            with recursive s as (select place_id, lat, lon from {gaz}
+                       where place_rank = 26),
+            e as (select a.place_id u, b.place_id v
+                  from s a, s b
+                  where a.place_id <> b.place_id
+                    and 2*6371.0088*asin(sqrt(
+                          pow(sin(radians(b.lat-a.lat)/2),2)
+                          + cos(radians(a.lat))*cos(radians(b.lat))
+                            *pow(sin(radians(b.lon-a.lon)/2),2))) <= 1.0),
+            deg as (select u, count(*) d from e group by u),
+            core as (select u from deg where d + 1 >= 3),
+            ce as (select e.u, e.v from e
+                   join core cu on cu.u = e.u
+                   join core cv on cv.u = e.v),
+            reach(node, r) as (
+                select u, u from core
+                union
+                select ce.v, reach.r from reach
+                join ce on ce.u = reach.node),
+            comp as (select node, min(r) c from reach group by node),
+            border as (
+                select e.u node, min(comp.c) c
+                from e join comp on comp.node = e.v
+                where e.u not in (select u from core)
+                group by e.u)
+            select s.place_id,
+                   case when comp.node is not null then 'core'
+                        when border.node is not null then 'border'
+                        else 'noise' end as role,
+                   cast(coalesce(comp.c, border.c, -1) as bigint)
+                       as cluster
+            from s
+            left join comp on comp.node = s.place_id
+            left join border on border.node = s.place_id""",
         "geo_nearest_join": f"""
             with s as (select place_id, lat, lon from {gaz}
                        where place_rank = 26),
@@ -2498,6 +2567,16 @@ def build_oracle_sql() -> dict[str, str]:
                    cast(sum(g.n_tokens) as bigint) as total_tokens
             from good g join l using (doc_id)
             group by 1""",
+        "doc_familiarity": r"""
+            with toks as (
+              select doc_id, lower(u.tok) as tok
+              from documents,
+                   unnest(regexp_extract_all(text, '\w+')) u(tok)),
+            cnt as (select tok, count(*) n from toks group by tok)
+            select t.doc_id, count(*) as n_tok,
+                   cast(sum(c.n) as bigint) as freq_sum
+            from toks t join cnt c using (tok)
+            group by t.doc_id""",
         "doc_vocab_topk": r"""
             with toks as (
               select lower(u.tok) as token

@@ -510,18 +510,23 @@ def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
     keep-one-per-cluster step that follows MinHash/SimHash/embedding
     pair generation in a training-data dedup pipeline.
 
-    Plan (Ray-Data-first iterative min-label propagation): edges are
-    doubled (u->v, v->u) once; each round is two ``grouped_map``
-    shuffles over the node key — (1) labels co-partitioned with edge
-    SOURCES so every edge emits its source's current label at its
-    target, (2) a min-combine per target node.  The label set is
-    materialized per round (iterative algorithms need a per-round
-    barrier) and the loop early-stops on a round with zero label
-    changes.  Rounds needed = graph diameter; near-dup clusters are
-    near-cliques (every pair of dups tends to collide directly), so
-    2-3 rounds close real corpora — ``max_iters`` only guards
-    pathological chain graphs, for which a large-star/small-star
-    contraction would be the upgrade.  All shuffles move only the
+    Plan (Ray-Data-first iterative min-label propagation with pointer
+    doubling): edges are doubled (u->v, v->u) once; each round is two
+    ``grouped_map`` shuffles over the node key — (1) labels
+    co-partitioned with edge SOURCES so every edge emits its source's
+    current label at its target, (2) a min-combine per target node.
+    On top of the graph edges, every round adds one SHORTCUT edge per
+    node from its current label to itself (label values are node ids,
+    so they route to a live label row): the node then also receives
+    label(label(node)), which doubles the length of resolved label
+    chains each round — convergence in O(log diameter) rounds instead
+    of O(diameter).  That matters beyond pathology: eps-neighbor
+    graphs from spatial DBSCAN are CHAINS (streets along a road), not
+    the near-cliques of near-dup buckets, and plain propagation on
+    them needs diameter rounds (silently wrong labels once max_iters
+    truncates).  The label set is materialized per round (iterative
+    algorithms need a per-round barrier) and the loop early-stops on a
+    round with zero label changes.  All shuffles move only the
     PAIR-GRAPH nodes (a small fraction of the corpus), never the
     documents.
 
@@ -547,6 +552,11 @@ def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
         return ray.data.from_arrow(pa.table({
             "node": pa.array([], pa.int64()),
             "comp": pa.array([], pa.int64())}))
+    if edges.num_blocks() > 2 * num_partitions:
+        # upstream composition (e.g. DBSCAN's flag joins) can leave
+        # hundreds of tiny blocks; every round pays per-block shuffle
+        # overhead, so bound it once up front
+        edges = edges.repartition(num_partitions).materialize()
 
     def to_nodes(batch: pa.Table) -> pa.Table:
         n = batch["key"]
@@ -554,8 +564,19 @@ def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
                          "label": n, "is_edge": pa.array([0] * len(n),
                                                          pa.int8())})
 
-    labels = distinct_on(edges.map_batches(to_nodes, batch_format="pyarrow"),
-                         ["key"], num_partitions=num_partitions)
+    def bound_blocks(ds):
+        # grouped_map preserves its INPUT's block count (Ray sort keeps
+        # block granularity), so per-round unions would compound tiny
+        # blocks and per-block shuffle overhead grows round over round;
+        # one cheap repartition of the label set caps it
+        m = ds.materialize()
+        if m.num_blocks() > 4 * num_partitions:
+            m = m.repartition(num_partitions).materialize()
+        return m
+
+    labels = bound_blocks(
+        distinct_on(edges.map_batches(to_nodes, batch_format="pyarrow"),
+                    ["key"], num_partitions=num_partitions))
 
     def propagate(df: pd.DataFrame) -> pa.Table:
         lab = df[df["is_edge"] == 0]
@@ -584,13 +605,30 @@ def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
             "is_edge": pa.array(np.zeros(len(new), np.int8), pa.int8()),
             "changed": pa.array(changed.to_numpy(np.int64), pa.int64())})
 
+    def shortcut(batch: pa.Table) -> pa.Table:
+        # pointer doubling: an edge (key=label(n), dst=n) delivers
+        # label(label(n)) to n next round — label values are node ids,
+        # so the edge routes to a partition holding a live label row
+        import pyarrow.compute as pc
+        keep = pc.invert(pc.equal(batch["key"], batch["label"]))
+        node = batch["key"].filter(keep)
+        lab = batch["label"].filter(keep)
+        return pa.table({"key": lab, "dst": node,
+                         "label": pa.array(np.zeros(len(node)), pa.int64()),
+                         "is_edge": pa.array(np.ones(len(node), np.int8),
+                                             pa.int8())})
+
     for _ in range(max_iters):
-        both = edges.union(labels.drop_columns(["changed"])
-                           if "changed" in labels.schema().names else labels)
+        lab_clean = (labels.drop_columns(["changed"])
+                     if "changed" in labels.schema().names else labels)
+        both = edges.union(
+            lab_clean,
+            lab_clean.map_batches(shortcut, batch_format="pyarrow"))
         msgs = grouped_map(both, "key", propagate, group_fn=False,
                            num_partitions=num_partitions)
-        labels = grouped_map(msgs, "node", combine, group_fn=False,
-                             num_partitions=num_partitions).materialize()
+        labels = bound_blocks(grouped_map(msgs, "node", combine,
+                                          group_fn=False,
+                                          num_partitions=num_partitions))
         if labels.sum("changed") == 0:
             break
 
