@@ -262,6 +262,51 @@ def tfidf_top_terms(ds: "ray.data.Dataset", df_ref, n_top: int = 3,
     return ds.map_batches(per_doc, batch_format="pyarrow")
 
 
+def corpus_token_counts(ds: "ray.data.Dataset", text_col: str = "text"):
+    """Corpus-wide token OCCURRENCE counts (token -> total occurrences)
+    via the vocabulary map-side combiner: the shuffle moves one row per
+    distinct token per block, never the token stream."""
+    return ds.map_batches(
+        lambda b: vocab_partial_counts(b, text_col),
+        batch_format="pyarrow").groupby("token").sum("n")
+
+
+def unigram_familiarity(ds: "ray.data.Dataset", counts_ref,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Per-document unigram-LM familiarity signal: the sum over a doc's
+    token occurrences of each token's CORPUS count, plus the doc's token
+    count — the integer-exact core of an n-gram language-model quality
+    filter (docs full of corpus-rare tokens score low; the log-space
+    perplexity variant is one vectorized ``np.log`` away but would not
+    be bit-comparable to a SQL oracle, so the published columns stay in
+    exact integers).
+
+    ``counts_ref`` is a ``ray.put`` handle to the (token -> count) dict
+    from ``corpus_token_counts``, read worker-locally per task — the
+    same broadcast-small-side pattern as ``tfidf_top_terms``, with the
+    same documented vocabulary-fits-in-memory assumption (beyond that,
+    a co-partitioned token join replaces the broadcast).  Docs with no
+    tokens are omitted (mirrors the SQL join semantics)."""
+    import ray
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        cnt = ray.get(counts_ref)
+        ids_out, ntoks, sums = [], [], []
+        for rid, t in zip(batch[id_col].to_pylist(),
+                          batch[text_col].to_pylist()):
+            toks = _WORD.findall((t or "").lower())
+            if not toks:
+                continue
+            ids_out.append(rid)
+            ntoks.append(len(toks))
+            sums.append(sum(cnt[tok] for tok in toks))
+        return pa.table({id_col: pa.array(ids_out, batch[id_col].type),
+                         "n_tok": pa.array(ntoks, pa.int64()),
+                         "freq_sum": pa.array(sums, pa.int64())})
+
+    return ds.map_batches(per_doc, batch_format="pyarrow")
+
+
 def length_quantiles(ds: "ray.data.Dataset", qs: tuple = (0.25, 0.5, 0.75,
                                                           0.9, 0.99),
                      text_col: str = "text") -> pa.Table:

@@ -299,6 +299,25 @@ def test_vocab_topk_matches_duckdb(ray_session, docs):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
 
 
+def test_unigram_familiarity_matches_duckdb(ray_session, docs):
+    import ray
+    from georay.ops.text import corpus_token_counts, unigram_familiarity
+    cnt = corpus_token_counts(docs).to_pandas()
+    ref = ray.put(dict(zip(cnt["token"], cnt["sum(n)"].astype(int))))
+    got = unigram_familiarity(docs, ref).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    want = duckdb.sql(f"""
+        with toks as (select doc_id, lower(u.tok) as tok
+          from read_parquet('{SF}/documents.parquet'),
+               unnest(regexp_extract_all(text, '\\w+')) u(tok)),
+        cnt as (select tok, count(*) n from toks group by tok)
+        select t.doc_id, count(*) as n_tok,
+               cast(sum(c.n) as bigint) as freq_sum
+        from toks t join cnt c using (tok)
+        group by t.doc_id order by t.doc_id""").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_length_quantiles_matches_duckdb(ray_session, docs):
     from georay.ops.text import length_quantiles
     got = length_quantiles(docs).to_pandas()
