@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_quad_assign": e.q_geo_quad_assign,
         "geo_bbox_agg": e.q_geo_bbox_agg,
         "geo_dbscan": e.q_geo_dbscan,
+        "geo_path_length": e.q_geo_path_length,
         "geo_polygon_area": e.q_geo_polygon_area,
         "rel_median_per_key": e.q_rel_median_per_key,
         "geo_batch_geocode": e.q_geo_batch_geocode,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_topk_brute": e.q_emb_topk_brute,
         "emb_knn_graph": e.q_emb_knn_graph,
         "emb_kmeans": e.q_emb_kmeans,
+        "emb_pca": e.q_emb_pca,
         "emb_topk_ivf": e.q_emb_topk_ivf,
         "emb_topk_ivf_recall": e.q_emb_topk_ivf_recall,
         "emb_dup_pairs": e.q_emb_dup_pairs,

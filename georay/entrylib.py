@@ -320,6 +320,55 @@ def q_geo_dbscan(sf_dir: str):
     return dbscan(streets, 1.0, 3, num_partitions=8)
 
 
+def q_geo_path_length(sf_dir: str):
+    """Per-postcode tour length over rank-26 streets ordered by
+    place_id (the trajectory-length primitive: ordered per-key segment
+    sum): ONE co-partitioned shuffle on the postcode, in-partition sort
+    + vectorized consecutive-haversine with group-boundary masking.
+    Each segment is floored to integer micro-km before the sum, so the
+    per-key totals are integer-exact against the SQL LAG window oracle
+    (no float summation-order risk; the trig itself is double on both
+    sides).  Postcodes with a single street have no segments and are
+    omitted, mirroring the SQL inner group."""
+    from .geom import haversine_km
+    from .shuffle import grouped_map
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["post_code", "place_id", "lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([("post_code", pa.string()),
+                            ("n_segments", pa.int64()),
+                            ("path_ukm", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["post_code", "place_id"], kind="mergesort")
+        pc_arr = df["post_code"].to_numpy()
+        lat = df["lat"].to_numpy(np.float64)
+        lon = df["lon"].to_numpy(np.float64)
+        seg = np.floor(1e6 * haversine_km(lat[:-1], lon[:-1],
+                                          lat[1:], lon[1:])).astype(np.int64)
+        same = pc_arr[:-1] == pc_arr[1:]
+        seg_pc = pc_arr[:-1][same]
+        seg = seg[same]
+        if not len(seg):
+            return out_schema.empty_table()
+        s = pd.DataFrame({"post_code": seg_pc, "d": seg})
+        g = s.groupby("post_code", sort=False)["d"].agg(["size", "sum"])
+        return pa.table({
+            "post_code": pa.array(g.index.to_numpy(), pa.string()),
+            "n_segments": pa.array(g["size"].to_numpy(np.int64)),
+            "path_ukm": pa.array(g["sum"].to_numpy(np.int64))})
+
+    return grouped_map(streets, "post_code", per_partition,
+                       num_partitions=16, group_fn=False)
+
+
 def q_rel_median_per_key(sf_dir: str):
     """Per-customer lower-median order price in integer cents: one
     co-partitioned shuffle, vectorized in-partition groupby-quantile
@@ -1773,6 +1822,25 @@ def q_emb_kmeans(sf_dir: str):
     return kmeans_assign(ds, cents)
 
 
+def q_emb_pca(sf_dir: str):
+    """Distributed PCA (one-pass moment partials, driver-side dim×dim
+    eigh) + dominant-component labeling.  Oracle via the components-as-
+    parameter pattern (emb_kmeans): the fitted (component, mu) table is
+    snapshotted and DuckDB recomputes every row's argmax
+    |v·c_k − mu_k| assignment with mirrored ties."""
+    from .ops.similarity import pca_assign, pca_fit
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    mean, comps, _ = pca_fit(ds, n_components=4)
+    mu = comps @ mean
+    _write_snapshot(pa.table({
+        "comp_id": pa.array(range(len(comps)), pa.int64()),
+        "vec": pa.array([row.tolist() for row in comps],
+                        pa.list_(pa.float64())),
+        "mu": pa.array(mu, pa.float64())}), sf_dir, "pca_components")
+    return pca_assign(ds, mean, comps)
+
+
 def q_emb_dup_pairs(sf_dir: str):
     from .ops.dedup import embedding_dup_pairs
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -2366,6 +2434,24 @@ def build_oracle_sql() -> dict[str, str]:
             from s
             left join comp on comp.node = s.place_id
             left join border on border.node = s.place_id""",
+        "geo_path_length": f"""
+            with s as (select cast(post_code as varchar) post_code,
+                              place_id, lat, lon
+                       from {gaz} where place_rank = 26),
+            o as (select post_code, lat, lon,
+                         lag(lat) over w plat, lag(lon) over w plon
+                  from s window w as (partition by post_code
+                                      order by place_id)),
+            seg as (select post_code,
+                           cast(floor(1e6 * 2*6371.0088*asin(sqrt(
+                                 pow(sin(radians(lat-plat)/2),2)
+                                 + cos(radians(plat))*cos(radians(lat))
+                                   *pow(sin(radians(lon-plon)/2),2))))
+                                as bigint) d
+                    from o where plat is not null)
+            select post_code, count(*) as n_segments,
+                   cast(sum(d) as bigint) as path_ukm
+            from seg group by post_code""",
         "geo_nearest_join": f"""
             with s as (select place_id, lat, lon from {gaz}
                        where place_rank = 26),
@@ -2807,6 +2893,22 @@ def build_oracle_sql() -> dict[str, str]:
                             c.cent_id) rn
                    from embeddings e, cents c)
             select vec_id, cast(cent_id as bigint) as cluster
+            from a1 where rn = 1""",
+        "emb_pca": f"""
+            -- dominant-PC assignment given the snapshotted components:
+            -- argmax |v.c_k - mu_k|, ties to the smaller comp_id; the
+            -- embedding list is cast to double so both sides accumulate
+            -- the dot product at the same precision
+            with comps as (select comp_id, vec, mu from read_parquet(
+                               '{s01}/pca_components/*.parquet')),
+            a1 as (select e.vec_id, c.comp_id,
+                          row_number() over (partition by e.vec_id order by
+                            abs(list_dot_product(
+                                  cast(e.embedding as double[]), c.vec)
+                                - c.mu) desc,
+                            c.comp_id) rn
+                   from embeddings e, comps c)
+            select vec_id, cast(comp_id as bigint) as comp
             from a1 where rn = 1""",
         "emb_topk_ivf": f"""
             -- full IVF search recompute given the snapshotted codebook:

@@ -287,6 +287,86 @@ def kmeans_fit(ds: "ray.data.Dataset", init: np.ndarray, iters: int = 5,
     return cent
 
 
+def pca_fit(ds: "ray.data.Dataset", n_components: int = 4,
+            id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Distributed PCA fit in ONE pass, NO shuffle: every batch emits
+    its (dim,) vector sum, (dim x dim) Gram partial and count map-side
+    — driver traffic is dim² x blocks floats, independent of dataset
+    size.  Partials merge on the driver in deterministic order (sorted
+    by each batch's smallest id), the covariance forms from the merged
+    moments, and the (dim x dim) eigendecomposition — trivially small —
+    runs once on the driver.  Component sign is canonicalized (the
+    largest-|coordinate| entry made positive) so reruns and topologies
+    are bit-identical.  Returns (mean (dim,), components
+    (n_components x dim) eigenvalue-descending, eigenvalues)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        default_gc()
+        v = vec_matrix(batch, vec_col)
+        if not v.size:
+            return pa.table({"psum": pa.array([], pa.list_(pa.float64())),
+                             "pgram": pa.array([], pa.list_(pa.float64())),
+                             "count": pa.array([], pa.int64()),
+                             "pkey": pa.array([], pa.int64())})
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "psum": pa.array([v.sum(axis=0).tolist()],
+                             pa.list_(pa.float64())),
+            "pgram": pa.array([(v.T @ v).reshape(-1).tolist()],
+                              pa.list_(pa.float64())),
+            "count": pa.array([len(v)], pa.int64()),
+            "pkey": pa.array([int(np.min(ids))], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values("pkey", kind="mergesort")
+    n = int(parts["count"].sum())
+    dim = len(parts["psum"].iloc[0])
+    s = np.zeros(dim, dtype=np.float64)
+    g = np.zeros(dim * dim, dtype=np.float64)
+    for _, row in parts.iterrows():
+        s += np.asarray(row["psum"], dtype=np.float64)
+        g += np.asarray(row["pgram"], dtype=np.float64)
+    mean = s / n
+    cov = g.reshape(dim, dim) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order].T.copy()
+    for i in range(len(comps)):                 # deterministic sign
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, evals[order]
+
+
+def pca_assign(ds: "ray.data.Dataset", mean: np.ndarray,
+               components: np.ndarray, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> "ray.data.Dataset":
+    """Dominant-principal-component label per vector: comp = argmax_k
+    |(v - mean)·c_k| = |v·c_k - mu_k| with mu_k = mean·c_k precomputed —
+    exactly the expression the SQL oracle recomputes from the
+    snapshotted (component, mu) table via ``list_dot_product``; ties go
+    to the smaller component id (numpy first-max = the oracle's
+    row_number order).  Components broadcast once via ``ray.put``."""
+    import ray
+
+    c = np.asarray(components, dtype=np.float64)
+    mu = c @ np.asarray(mean, dtype=np.float64)
+    ref = ray.put((c.T.copy(), mu))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        default_gc()
+        v = vec_matrix(batch, vec_col)
+        if not v.size:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "comp": pa.array([], pa.int64())})
+        ct, m = ray.get(ref)
+        a = np.argmax(np.abs(v @ ct - m[None, :]), axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "comp": pa.array(a.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def kmeans_assign(ds: "ray.data.Dataset", centroids: np.ndarray,
                   id_col: str = "vec_id", vec_col: str = "embedding"
                   ) -> "ray.data.Dataset":

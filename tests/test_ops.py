@@ -459,6 +459,46 @@ def test_keep_canonical_broadcast_filter(ray_session):
     assert len(keep_canonical(docs, comp0).to_pandas()) == 10
 
 
+def test_pca_matches_numpy(ray_session):
+    """Distributed one-pass PCA reproduces driver-side numpy PCA on the
+    same rows (components up to the canonical sign, assignments
+    exactly), independent of block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from georay.ops.similarity import pca_assign, pca_fit
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: two dominant axes
+    base = rng.normal(size=(300, 8))
+    base[:, 0] *= 6.0
+    base[:, 3] *= 3.0
+    base += rng.normal(size=8)  # nonzero mean
+    tbl = pa.table({"vec_id": pa.array(range(300), pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in base],
+                                          pa.list_(pa.float64()))})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    mean, comps, evals = pca_fit(ds, n_components=3)
+
+    np.testing.assert_allclose(mean, base.mean(axis=0), rtol=1e-9)
+    cov = np.cov(base.T, bias=True)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    np.testing.assert_allclose(np.sort(evals)[::-1], w[order], rtol=1e-7)
+    for i, oi in enumerate(order):
+        ref = v[:, oi]
+        j = int(np.argmax(np.abs(ref)))
+        if ref[j] < 0:
+            ref = -ref
+        np.testing.assert_allclose(comps[i], ref, atol=1e-8)
+
+    got = pca_assign(ds, mean, comps).to_pandas().sort_values(
+        "vec_id")["comp"].to_numpy()
+    want = np.argmax(np.abs((base - base.mean(axis=0)) @ comps.T), axis=1)
+    assert (got == want).all()
+
+
 def test_kmeans_fit_recovers_planted_clusters(ray_session):
     """Distributed spherical k-means recovers 3 well-separated planted
     directions, is deterministic across reruns, and its assignment op
