@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bbox_agg": e.q_geo_bbox_agg,
         "geo_dbscan": e.q_geo_dbscan,
         "geo_path_length": e.q_geo_path_length,
+        "geo_geohash": e.q_geo_geohash,
         "geo_polygon_area": e.q_geo_polygon_area,
         "rel_median_per_key": e.q_rel_median_per_key,
         "geo_batch_geocode": e.q_geo_batch_geocode,
@@ -82,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_events_daily": e.q_rel_events_daily,
         "rel_window_7d": e.q_rel_window_7d,
         "rel_cumsum": e.q_rel_cumsum,
+        "rel_distinct_per_key": e.q_rel_distinct_per_key,
         "rel_semi_join": e.q_rel_semi_join,
         "rel_grouping_sets": e.q_rel_grouping_sets,
         # document / embedding training-data ops (testdata)

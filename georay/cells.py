@@ -107,6 +107,39 @@ def quad_cell(lat, lon, level: int = 18) -> np.ndarray:
     return (np.int64(level) << np.int64(56)) | code
 
 
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash(lat, lon, precision: int = 7) -> np.ndarray:
+    """Standard geohash (Niemeyer base-32, lon-first MSB bit interleave)
+    at ``precision`` characters, fully vectorized — the third industry
+    cell scheme next to the hex and quad ids, and like them replicated
+    bit-for-bit by a SQL oracle.  For precision 7: 35 bits total, 18
+    for longitude (it leads and takes the odd extra bit), 17 for
+    latitude; grid math follows quad_cell's floor conventions."""
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    if precision != 7:
+        raise ValueError("only precision 7 is wired to the SQL oracle")
+    nlon = np.int64(1) << np.int64(18)
+    nlat = np.int64(1) << np.int64(17)
+    x = np.clip(((lon + 180.0) / 360.0 * nlon).astype(np.int64),
+                0, int(nlon) - 1)
+    y = np.clip(((lat + 90.0) / 180.0 * nlat).astype(np.int64),
+                0, int(nlat) - 1)
+    code = np.zeros(len(x), dtype=np.int64)
+    for i in range(17):
+        code |= ((x >> np.int64(17 - i)) & np.int64(1)) << np.int64(34 - 2 * i)
+        code |= ((y >> np.int64(16 - i)) & np.int64(1)) << np.int64(33 - 2 * i)
+    code |= x & np.int64(1)
+    cs = np.frombuffer(_GEOHASH32.encode(), dtype=np.uint8)
+    shifts = np.array([5 * (precision - 1 - c) for c in range(precision)],
+                      dtype=np.int64)
+    idx = (code[:, None] >> shifts[None, :]) & np.int64(31)
+    b = cs[idx].astype(np.uint8)
+    return b.view(f"S{precision}").ravel().astype(str)
+
+
 def quad_parent(cell: np.ndarray) -> np.ndarray:
     cell = np.asarray(cell, dtype=np.int64)
     level = (cell >> np.int64(56)).astype(np.int64)

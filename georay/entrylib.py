@@ -244,6 +244,26 @@ def q_geo_quad_assign(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def q_geo_geohash(sf_dir: str):
+    """Geohash-7 per gazetteer point plus its 5-char parent prefix —
+    the third cell scheme (hex, quad, geohash), oracled down to the
+    base-32 bit interleave in SQL (cells.geohash)."""
+    from .cells import geohash
+    d = ensure_synth(sf_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        g = geohash(lat, lon, 7)
+        return pa.table({"place_id": batch["place_id"],
+                         "gh7": pa.array(g, pa.string()),
+                         "gh5": pa.array([s[:5] for s in g], pa.string())})
+
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["place_id", "lat", "lon"])
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def q_geo_bbox_agg(sf_dir: str):
     """Per-postcode bounding box + count over streets: per-batch pyarrow
     hash-agg partials (micro-degree ints), one small groupby merge."""
@@ -1226,6 +1246,36 @@ def q_rel_events_daily(sf_dir: str):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return (partials.groupby(["event_type", "day"])
             .aggregate(Sum("n", alias_name="n")))
+
+
+def q_rel_distinct_per_key(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type: per-batch local dedup
+    of (type, user) pairs (map-side combine — the shuffle moves one row
+    per distinct pair per block, never the event stream), ONE
+    co-partitioned shuffle on the type, per-partition nunique.  The
+    approximate path at higher cardinality is the HLL sketch
+    (ops/sketch.py); this is its exact counterpart."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "user_id"])
+
+    def local_dedup(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["event_type", "user_id"]).aggregate([])
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_users", pa.int64())])
+
+    def count_distinct(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        g = df.groupby("event_type", sort=False)["user_id"].nunique()
+        return pa.table({
+            "event_type": pa.array(g.index.to_numpy(), pa.string()),
+            "n_users": pa.array(g.to_numpy(np.int64))})
+
+    pairs = ds.map_batches(local_dedup, batch_format="pyarrow")
+    return grouped_map(pairs, "event_type", count_distinct,
+                       num_partitions=8, group_fn=False)
 
 
 def q_rel_cumsum(sf_dir: str):
@@ -2486,6 +2536,26 @@ def build_oracle_sql() -> dict[str, str]:
                    + ((((y>>1) >> i) & 1) << (2*i+1))
                    for i in range(0,17)]) as bigint) as qparent
             from p""",
+        "geo_geohash": f"""
+            -- geohash-7: lon-first MSB interleave (18 lon bits, 17 lat)
+            -- then base-32 chars; same floor grid math as the quad id
+            with p as (select place_id,
+              least(greatest(cast(floor((lon+180.0)/360.0*262144)
+                    as bigint), 0), 262143) x,
+              least(greatest(cast(floor((lat+90.0)/180.0*131072)
+                    as bigint), 0), 131071) y
+              from {gaz}),
+            c as (select place_id,
+              cast(list_sum([(((x >> (17-i)) & 1) << (34-2*i))
+                  + (((y >> (16-i)) & 1) << (33-2*i))
+                  for i in range(0,17)]) as bigint) + (x & 1) as code
+              from p),
+            g as (select place_id,
+              array_to_string([substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                  cast(((code >> (5*(6-i))) & 31) as int) + 1, 1)
+                  for i in range(0,7)], '') as gh7
+              from c)
+            select place_id, gh7, substr(gh7, 1, 5) as gh5 from g""",
         "geo_bbox_agg": f"""
             select post_code,
                    min(cast(floor(lat*1000000) as bigint)) as lat_min,
@@ -2594,6 +2664,9 @@ def build_oracle_sql() -> dict[str, str]:
             select event_type, strftime(ts, '%Y-%m-%d') as day,
                    count(*) as n
             from events group by 1, 2""",
+        "rel_distinct_per_key": """
+            select event_type, count(distinct user_id) as n_users
+            from events group by 1""",
         "rel_cumsum": """
             select o_orderkey,
                    cast(sum(cast(floor(o_totalprice*100+0.5) as bigint))

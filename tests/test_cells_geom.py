@@ -89,3 +89,16 @@ def test_polygon_index_matches_bruteforce(pts):
         hits = [pid for pid, (rla, rlo) in zip(["a", "b"], rings)
                 if point_in_polygon(lat[i:i+1], lon[i:i+1], rla, rlo)[0]]
         assert got[i] == (hits[0] if hits else None)
+
+
+def test_geohash_canonical_vectors():
+    """Pin against published geohash values (Niemeyer encoding)."""
+    from georay.cells import geohash
+    assert geohash([57.64911], [10.40744], 7)[0] == "u4pruyd"
+    assert geohash([0.0], [0.0], 7)[0] == "s000000"
+    assert geohash([-90.0], [-180.0], 7)[0] == "0000000"
+    assert geohash([89.99999], [179.99999], 7)[0] == "zzzzzzz"
+    # prefix property: nearby points share long prefixes
+    a = geohash([50.85030], [4.35170], 7)[0]
+    b = geohash([50.85031], [4.35171], 7)[0]
+    assert a[:6] == b[:6]
