@@ -208,30 +208,35 @@ def run_bench() -> dict:
     # takes whichever blocks arrive first, which varies run to run and
     # made pair counts incomparable across runs.
     target = 30000
-    # ~2 address spans per doc -> need ~target/2 docs.  Prune AT THE
-    # READ: take a deterministic stride of corpus files (sorted names)
-    # instead of .limit(), which truncated by arrival order (pair counts
-    # varied run to run) — only the sampled shards leave storage.
-    files = sorted(f for f in os.listdir(corpus_dir)
-                   if f.endswith(".parquet"))
-    docs_per_file = max(1, n_docs // max(1, len(files)))
-    n_need = max(1, (target // 2) // docs_per_file)
-    stride = max(1, len(files) // n_need)
-    paths = [os.path.join(corpus_dir, f)
-             for f in files[::stride]][:n_need]
+    # ~2 address spans per doc -> need ~target/2 docs.  CONTENT-
+    # addressed sample, pruned at the read: doc_ids carry their shard
+    # prefix (s00000_...), so a doc_id range filter selects exactly the
+    # first n_need shards by CONTENT and parquet row-group statistics
+    # prune every other shard's file at the scan.  The previous
+    # file-stride sample keyed on sorted FILENAMES, whose shard mapping
+    # is a function of Ray's write task ordering — regenerating the
+    # corpus reshuffled the sample and moved the pair count (118,711 /
+    # 116,480 / 117,732 across three layouts of identical content).
+    shard_docs = 1000          # ensure_corpus default shard size
+    n_need = max(1, (target // 2) // shard_docs)
+    import pyarrow.dataset as pads
+    cutoff = f"s{n_need:05d}_"
+    paths = corpus_dir
+    sample_filter = pads.field("doc_id") < cutoff
 
     def addr_spans(b: pa.Table) -> pa.Table:
         b = b.filter(b["is_address"]).select(["addr_key", "text"])
         return b.rename_columns(["doc_id", "text"])
 
     def span_ds():
-        # override_num_blocks: the stride sample selects FEW files (~15
-        # of 240 at sf0.1) and read_parquet's default one-block-per-file
+        # override_num_blocks: the sample matches FEW shards (~15 of
+        # 240 at sf0.1) and read_parquet's default one-block-per-file
         # caps the fused read->signature stage at that task count — 15
         # busy cores of 32 (round-2 regression: 28 s for a 7 s stage).
         # Force enough blocks that every worker gets signature work.
         return (ray.data.read_parquet(
-                    paths, override_num_blocks=max(64, num_cpus * 3))
+                    paths, filter=sample_filter,
+                    override_num_blocks=max(64, num_cpus * 3))
                 .map_batches(explode_spans, batch_format="pyarrow")
                 .map_batches(addr_spans, batch_format="pyarrow"))
 
