@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk": e.q_doc_chunk,
         "doc_tfidf_top": e.q_doc_tfidf_top,
         "doc_familiarity": e.q_doc_familiarity,
+        "doc_bpe_merges": e.q_doc_bpe_merges,
         "doc_dup_spans": e.q_doc_dup_spans,
         "emb_topk_brute": e.q_emb_topk_brute,
         "emb_knn_graph": e.q_emb_knn_graph,

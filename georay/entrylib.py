@@ -1743,6 +1743,16 @@ def q_doc_tfidf_top(sf_dir: str):
     return tfidf_top_terms(ds, ref, n_top=3)
 
 
+def q_doc_bpe_merges(sf_dir: str):
+    """Corpus top-30 adjacent token pairs — one BPE tokenizer-training
+    merge round's statistic (ops/text.bigram_topk): map-side pair
+    combine, vocabulary-sized shuffle, partial-top-k driver merge."""
+    from .ops.text import bigram_topk
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return bigram_topk(ds, k=30)
+
+
 def q_doc_familiarity(sf_dir: str):
     """Per-doc unigram-LM familiarity (sum of corpus occurrence counts
     over the doc's tokens, integer-exact): corpus counts via map-side
@@ -2726,6 +2736,15 @@ def build_oracle_sql() -> dict[str, str]:
                    cast(sum(g.n_tokens) as bigint) as total_tokens
             from good g join l using (doc_id)
             group by 1""",
+        "doc_bpe_merges": r"""
+            with t as (select doc_id,
+                              regexp_extract_all(lower(text), '\w+') toks
+                       from documents),
+            p as (select unnest([toks[i] || ' ' || toks[i+1]
+                                 for i in range(1, len(toks))]) pair
+                  from t)
+            select pair, cast(count(*) as bigint) n from p
+            group by pair order by n desc, pair limit 30""",
         "doc_familiarity": r"""
             with toks as (
               select doc_id, lower(u.tok) as tok

@@ -204,6 +204,45 @@ def vocab_topk(ds, k: int = 50, text_col: str = "text") -> pa.Table:
                      "n": pa.array(top["sum(n)"].to_numpy(), pa.int64())})
 
 
+def bigram_topk(ds, k: int = 30, text_col: str = "text") -> pa.Table:
+    """Corpus top-k adjacent token pairs — the statistic a BPE/WordPiece
+    tokenizer-training round maximizes (its next merge IS the most
+    frequent adjacent pair).  Same scale plan as ``vocab_topk``:
+    map-side combine (one row per distinct pair per batch — the shuffle
+    is bounded by distinct pairs × blocks, never the token stream), one
+    small groupby over the partials, then per-batch partial top-k with
+    a (k × blocks)-row driver merge.  Total order (n desc, pair asc) on
+    both sides."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            toks = _WORD.findall((t or "").lower())
+            for i in range(len(toks) - 1):
+                p = toks[i] + " " + toks[i + 1]
+                counts[p] = counts.get(p, 0) + 1
+        ks = sorted(counts)
+        return pa.table({"pair": pa.array(ks, pa.string()),
+                         "n": pa.array([counts[p] for p in ks],
+                                       pa.int64())})
+
+    summed = ds.map_batches(partial,
+                            batch_format="pyarrow").groupby("pair").sum("n")
+
+    def part_top(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().sort_values(
+            ["sum(n)", "pair"], ascending=[False, True],
+            kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    tops = summed.map_batches(part_top, batch_format="pyarrow").to_pandas()
+    top = tops.sort_values(["sum(n)", "pair"], ascending=[False, True],
+                           kind="mergesort").head(k)
+    return pa.table({"pair": pa.array(top["pair"], pa.string()),
+                     "n": pa.array(top["sum(n)"].to_numpy(), pa.int64())})
+
+
 def doc_frequencies(ds: "ray.data.Dataset", text_col: str = "text"):
     """Corpus document frequencies (token -> number of docs containing
     it) via map-side combine: each batch emits ONE (token, df_partial)

@@ -299,6 +299,20 @@ def test_vocab_topk_matches_duckdb(ray_session, docs):
     pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
 
 
+def test_bigram_topk_matches_duckdb(ray_session, docs):
+    from georay.ops.text import bigram_topk
+    got = bigram_topk(docs, k=15).to_pandas()
+    ref = duckdb.sql(f"""
+        with t as (select regexp_extract_all(lower(text), '\\w+') toks
+                   from read_parquet('{SF}/documents.parquet')),
+        p as (select unnest([toks[i] || ' ' || toks[i+1]
+                             for i in range(1, len(toks))]) pair
+              from t)
+        select pair, cast(count(*) as bigint) n from p
+        group by pair order by n desc, pair limit 15""").df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), ref)
+
+
 def test_unigram_familiarity_matches_duckdb(ray_session, docs):
     import ray
     from georay.ops.text import corpus_token_counts, unigram_familiarity
