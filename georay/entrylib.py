@@ -244,6 +244,53 @@ def q_geo_quad_assign(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+_ZONE_CACHE: dict = {}
+
+
+def q_geo_zone_join(sf_dir: str):
+    """Point-in-polygon spatial JOIN (zone assignment): every rank-26
+    street gets the bnd_idx of its containing admin ring (overlaps
+    resolved to the MINIMUM bnd_idx, -1 if outside all).  The polygon
+    set is bounded, so each worker builds the bbox-grid PolygonIndex
+    once (process-cached, built sorted by bnd_idx so locate's
+    first-in-build-order tie-break IS min bnd_idx) and the point side
+    streams through ONE stateless map_batches — no shuffle.  Oracle:
+    the bit-verified even-odd crossing SQL (geo_pip_validate) per
+    (point, ring) with min(bnd_idx) over containing rings."""
+    d = ensure_synth(sf_dir)
+    bpath = os.path.join(d, "boundaries.parquet")
+
+    def assign(batch: pa.Table) -> pa.Table:
+        from .geom import PolygonIndex
+        idx = _ZONE_CACHE.get(bpath)
+        if idx is None:
+            t = pq.read_table(bpath,
+                              columns=["bnd_idx", "ring_lat", "ring_lon"])
+            bi = t["bnd_idx"].to_numpy(zero_copy_only=False)
+            order = np.argsort(bi, kind="stable")
+            lats = t["ring_lat"].to_pylist()
+            lons = t["ring_lon"].to_pylist()
+            idx = PolygonIndex(
+                [int(bi[i]) for i in order],
+                [(np.asarray(lats[i], np.float64),
+                  np.asarray(lons[i], np.float64)) for i in order])
+            _ZONE_CACHE[bpath] = idx
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        loc = idx.locate(lat, lon)
+        z = np.array([-1 if v is None else v for v in loc], np.int64)
+        return pa.table({"place_id": batch["place_id"],
+                         "zone": pa.array(z)})
+
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["place_id", "lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+    return streets.map_batches(assign, batch_format="pyarrow")
+
+
 def q_geo_geohash(sf_dir: str):
     """Geohash-7 per gazetteer point plus its 5-char parent prefix —
     the third cell scheme (hex, quad, geohash), oracled down to the
@@ -2546,6 +2593,31 @@ def build_oracle_sql() -> dict[str, str]:
                    + ((((y>>1) >> i) & 1) << (2*i+1))
                    for i in range(0,17)]) as bigint) as qparent
             from p""",
+        "geo_zone_join": f"""
+            with b as (select bnd_idx, ring_lat, ring_lon
+                       from read_parquet('{s01}/boundaries.parquet')),
+            s as (select place_id, lat, lon from {gaz}
+                  where place_rank = 26),
+            cont as (
+                select s.place_id, b.bnd_idx,
+                       (list_sum([case
+                          when (case when ring_lat[i] > s.lat
+                                     then 1 else 0 end)
+                            <> (case when ring_lat[i+1] > s.lat
+                                     then 1 else 0 end)
+                           and ring_lat[i+1] <> ring_lat[i]
+                           and s.lon < (ring_lon[i+1]-ring_lon[i])
+                               * (s.lat-ring_lat[i])
+                               / (ring_lat[i+1]-ring_lat[i]) + ring_lon[i]
+                          then 1 else 0 end
+                          for i in range(1, len(ring_lat))]) % 2) = 1
+                       as inside
+                from s, b),
+            agg as (select place_id,
+                           min(bnd_idx) filter (where inside) z
+                    from cont group by 1)
+            select place_id, cast(coalesce(z, -1) as bigint) as zone
+            from agg""",
         "geo_geohash": f"""
             -- geohash-7: lon-first MSB interleave (18 lon bits, 17 lat)
             -- then base-32 chars; same floor grid math as the quad id
