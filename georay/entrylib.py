@@ -471,6 +471,53 @@ def q_rel_median_per_key(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_p90_per_key(sf_dir: str):
+    """Per-segment p90 order price (discrete quantile, integer cents):
+    same one-shuffle plan as the per-key median, but keyed on the
+    customer's market segment (a broadcast-joined dimension) — the
+    grouped-quantile shape a curation pipeline uses for per-source
+    length/quality cutoffs.  Quantile definition mirrors DuckDB
+    ``quantile_disc(0.9)``: element at ceil(0.9*n)-1 of the sorted
+    group."""
+    from .shuffle import grouped_map
+    import ray as _ray
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    seg_ref = _ray.put(dict(zip(cust["c_custkey"].to_pylist(),
+                                cust["c_mktsegment"].to_pylist())))
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_totalprice"])
+
+    def add_seg(batch: pa.Table) -> pa.Table:
+        seg = _ray.get(seg_ref)
+        keys = batch["o_custkey"].to_pylist()
+        p = batch["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "seg": pa.array([seg[k] for k in keys], pa.string()),
+            "cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64))})
+
+    out_schema = pa.schema([("seg", pa.string()),
+                            ("p90_cents", pa.int64())])
+
+    def p90(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["seg", "cents"], kind="mergesort")
+        key = df["seg"].to_numpy()
+        cents = df["cents"].to_numpy()
+        bounds = np.flatnonzero(key[:-1] != key[1:]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(key)]))
+        pick = starts + np.ceil(0.9 * (ends - starts)).astype(np.int64) - 1
+        return pa.table({"seg": pa.array(key[starts], pa.string()),
+                         "p90_cents": pa.array(cents[pick].astype(np.int64))})
+
+    withseg = ds.map_batches(add_seg, batch_format="pyarrow")
+    return grouped_map(withseg, "seg", p90, num_partitions=8,
+                       group_fn=False)
+
+
 def q_geo_knn(sf_dir: str):
     from .geom import haversine_km
     d = ensure_synth(sf_dir)
@@ -2746,6 +2793,12 @@ def build_oracle_sql() -> dict[str, str]:
             select event_type, strftime(ts, '%Y-%m-%d') as day,
                    count(*) as n
             from events group by 1, 2""",
+        "rel_p90_per_key": """
+            select c_mktsegment as seg,
+                   quantile_disc(cast(floor(o_totalprice*100+0.5)
+                                      as bigint), 0.9) as p90_cents
+            from orders join customer on o_custkey = c_custkey
+            group by 1""",
         "rel_distinct_per_key": """
             select event_type, count(distinct user_id) as n_users
             from events group by 1""",

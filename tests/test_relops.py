@@ -69,3 +69,27 @@ def test_grouping_sets_matches_duckdb(ray_session):
               & (eng.o_orderpriority == "(all)")]
     assert len(tot) == 1 and tot["n"].iloc[0] == len(
         _sql("select * from orders"))
+
+
+def test_p90_per_key_matches_duckdb(ray_session):
+    from georay.entrylib import q_rel_p90_per_key
+    eng = _canon(q_rel_p90_per_key(SF).to_pandas())
+    ora = _canon(_sql("""
+        select c_mktsegment as seg,
+               quantile_disc(cast(floor(o_totalprice*100+0.5) as bigint),
+                             0.9) as p90_cents
+        from orders join customer on o_custkey = c_custkey
+        group by 1"""))
+    import pandas as pd
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+def test_distinct_per_key_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+    from georay.entrylib import q_rel_distinct_per_key
+    eng = _canon(q_rel_distinct_per_key(SF).to_pandas())
+    ora = _canon(duckdb.sql(
+        f"""select event_type, count(distinct user_id) as n_users
+            from read_parquet('{SF}/events.parquet') group by 1""").df())
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
