@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_path_length": e.q_geo_path_length,
         "geo_geohash": e.q_geo_geohash,
         "geo_zone_join": e.q_geo_zone_join,
+        "geo_idw": e.q_geo_idw,
         "geo_polygon_area": e.q_geo_polygon_area,
         "rel_median_per_key": e.q_rel_median_per_key,
         "geo_batch_geocode": e.q_geo_batch_geocode,

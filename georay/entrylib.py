@@ -244,6 +244,58 @@ def q_geo_quad_assign(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def q_geo_idw(sf_dir: str):
+    """Inverse-distance-weighted interpolation of street house-number
+    density onto the occupied square-grid cell centers (radius 1 km):
+    the spatial-estimation primitive (kriging's cheap cousin) as a
+    grid-bucketed join.  Integer-exact: w = 10⁹ // max(dist_m, 1), so
+    the (num, den) moments match the SQL cross-join oracle bit-for-bit
+    and the estimate is one exact division away (tiles.idw_join)."""
+    from .cells import SQUARE_CELL_DEG, square_cell
+    from .shuffle import distinct_on
+    from .tiles import idw_join
+    d = ensure_synth(sf_dir)
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+    w_grid = int(round(360.0 / SQUARE_CELL_DEG))
+
+    def street_v(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pa.compute.equal(batch["place_rank"], 26))
+        hn = batch["house_numbers"].to_pylist()
+        v = np.array([0 if not s else s.count(";") + 1 for s in hn],
+                     np.int64)
+        return pa.table({"place_id": batch["place_id"],
+                         "lat": batch["lat"], "lon": batch["lon"],
+                         "v": pa.array(v)})
+
+    def streets():
+        ds = ray.data.read_parquet(
+            gaz_path, columns=["place_id", "lat", "lon", "place_rank",
+                               "house_numbers"])
+        return ds.map_batches(street_v, batch_format="pyarrow")
+
+    def cells_of(batch: pa.Table) -> pa.Table:
+        c = square_cell(batch["lat"].to_numpy(zero_copy_only=False),
+                        batch["lon"].to_numpy(zero_copy_only=False))
+        return pa.table({"cell_id": pa.array(c)})
+
+    cells = distinct_on(
+        streets().map_batches(cells_of, batch_format="pyarrow"),
+        ["cell_id"], num_partitions=8)
+
+    def centers(batch: pa.Table) -> pa.Table:
+        cid = batch["cell_id"].to_numpy(zero_copy_only=False)
+        clat = -90.0 + (cid // w_grid + 0.5) * SQUARE_CELL_DEG
+        clon = -180.0 + (cid % w_grid + 0.5) * SQUARE_CELL_DEG
+        return pa.table({"cell_id": pa.array(cid.astype(np.int64)),
+                         "lat": pa.array(clat), "lon": pa.array(clon)})
+
+    ctr = cells.map_batches(centers, batch_format="pyarrow")
+    out = idw_join(ctr, streets(), 1.0, val_col="v", num_partitions=16)
+    return out.map_batches(
+        lambda b: b.rename_columns(["cell_id", "num", "den"]),
+        batch_format="pyarrow")
+
+
 _ZONE_CACHE: dict = {}
 
 
@@ -2640,6 +2692,42 @@ def build_oracle_sql() -> dict[str, str]:
                    + ((((y>>1) >> i) & 1) << (2*i+1))
                    for i in range(0,17)]) as bigint) as qparent
             from p""",
+        "geo_idw": f"""
+            with s as (select place_id, lat, lon,
+                              case when house_numbers = '' then 0
+                                   else len(string_split(house_numbers,
+                                                         ';')) end v
+                       from {gaz} where place_rank = 26),
+            cells as (select distinct
+                        cast(floor((lat+90)/{SQUARE_CELL_DEG}) as bigint)
+                          *{w}
+                        + cast(floor((lon+180)/{SQUARE_CELL_DEG})
+                               as bigint) cell_id
+                      from s),
+            ctr as (select cell_id,
+                           -90 + (cell_id // {w} + 0.5)
+                                 * {SQUARE_CELL_DEG} clat,
+                           -180 + (cell_id % {w} + 0.5)
+                                  * {SQUARE_CELL_DEG} clon
+                    from cells),
+            pairs as (select c.cell_id, s.v,
+                        cast(floor(1000 * 2*6371.0088*asin(sqrt(
+                              pow(sin(radians(s.lat-c.clat)/2),2)
+                              + cos(radians(c.clat))*cos(radians(s.lat))
+                                *pow(sin(radians(s.lon-c.clon)/2),2))))
+                             as bigint) dm
+                      from ctr c, s
+                      where 2*6371.0088*asin(sqrt(
+                              pow(sin(radians(s.lat-c.clat)/2),2)
+                              + cos(radians(c.clat))*cos(radians(s.lat))
+                                *pow(sin(radians(s.lon-c.clon)/2),2)))
+                            <= 1.0),
+            wts as (select cell_id,
+                           1000000000 // greatest(dm, 1) w, v
+                    from pairs)
+            select cell_id, cast(sum(w*v) as bigint) as num,
+                   cast(sum(w) as bigint) as den
+            from wts group by 1""",
         "geo_zone_join": f"""
             with b as (select bnd_idx, ring_lat, ring_lon
                        from read_parquet('{s01}/boundaries.parquet')),

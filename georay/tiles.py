@@ -154,7 +154,8 @@ _RJ_SCHEMA = pa.schema([("left_id", pa.int64()), ("right_id", pa.int64()),
 
 
 def _rj_tag(side: int, id_col: str, lat_col: str, lon_col: str,
-            pitch_deg: float, grid_w: int, radius_km: float):
+            pitch_deg: float, grid_w: int, radius_km: float,
+            val_col: str | None = None):
     """Batch fn: tag one side of the radius join with grid cells.
 
     side 0 (build) rows go to their home cell only; side 1 (probe) rows
@@ -168,6 +169,9 @@ def _rj_tag(side: int, id_col: str, lat_col: str, lon_col: str,
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         lat = batch[lat_col].to_numpy(zero_copy_only=False).astype(np.float64)
         lon = batch[lon_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        val = (batch[val_col].to_numpy(zero_copy_only=False)
+               .astype(np.int64) if val_col is not None
+               else np.zeros(len(ids), np.int64))
         iy = np.floor((lat + 90.0) / pitch_deg).astype(np.int64)
         ix = np.floor((lon + 180.0) / pitch_deg).astype(np.int64)
         if side == 0:
@@ -176,7 +180,7 @@ def _rj_tag(side: int, id_col: str, lat_col: str, lon_col: str,
                 "cell": pa.array(cell), "side": pa.array(
                     np.zeros(len(ids), np.int8)),
                 "rj_id": pa.array(ids), "rj_lat": pa.array(lat),
-                "rj_lon": pa.array(lon)})
+                "rj_lon": pa.array(lon), "rj_val": pa.array(val)})
         # probe side: replicate to the (2kx+1) x 3 neighborhood
         if len(ids) == 0:
             kx = 0
@@ -195,7 +199,7 @@ def _rj_tag(side: int, id_col: str, lat_col: str, lon_col: str,
             "cell": pa.array(cell),
             "side": pa.array(np.ones(len(cell), np.int8)),
             "rj_id": pa.array(ids[idx]), "rj_lat": pa.array(lat[idx]),
-            "rj_lon": pa.array(lon[idx])})
+            "rj_lon": pa.array(lon[idx]), "rj_val": pa.array(val[idx])})
     return fn
 
 
@@ -404,3 +408,97 @@ def nearest_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     return out.map_batches(
         lambda b: b if b.num_columns else _NJ_SCHEMA.empty_table(),
         batch_format="pyarrow")
+
+
+_IDW_SCHEMA = pa.schema([("left_id", pa.int64()), ("num", pa.int64()),
+                         ("den", pa.int64())])
+
+
+def idw_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
+             radius_km: float, *, val_col: str,
+             left_id_col: str = "cell_id", right_id_col: str = "place_id",
+             lat_col: str = "lat", lon_col: str = "lon",
+             num_partitions: int = 64,
+             chunk_rows: int = 4096) -> "ray.data.Dataset":
+    """Inverse-distance-weighted interpolation join: for every left
+    (probe) point, the integer-exact IDW moments over right points
+    within ``radius_km`` — num = Σ w·v, den = Σ w with
+    w = 10⁹ // max(dist_mm→m floor, 1) and v the right side's integer
+    ``val_col``.  The estimate is num/den (one exact integer division
+    away), and because every term is int64 after the millimeter floor,
+    a SQL oracle reproduces the moments bit-for-bit (no float
+    summation-order risk).
+
+    Plan: the radius join's grid bucketing verbatim (each (probe,
+    build) pair meets in exactly ONE partition), per-partition partial
+    moments per probe (chunked matrices bound memory on hot cells),
+    then ONE probe-keyed groupby merges partials.  Probes with no
+    build point in range are absent from the output (SQL inner-join
+    semantics)."""
+    from ray.data.aggregate import Sum
+
+    pitch_deg = radius_km / _KM_PER_DEG_LAT
+    grid_w = int(np.ceil(360.0 / pitch_deg)) + 4
+
+    from .geom import haversine_km
+    from .shuffle import grouped_map
+
+    build = right.map_batches(
+        _rj_tag(0, right_id_col, lat_col, lon_col, pitch_deg, grid_w,
+                radius_km, val_col=val_col), batch_format="pyarrow")
+    probe = left.map_batches(
+        _rj_tag(1, left_id_col, lat_col, lon_col, pitch_deg, grid_w,
+                radius_km), batch_format="pyarrow")
+
+    def moments_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return _IDW_SCHEMA.empty_table()
+        cell = df["cell"].to_numpy()
+        order = np.argsort(cell, kind="mergesort")
+        cell = cell[order]
+        side = df["side"].to_numpy()[order]
+        ids = df["rj_id"].to_numpy()[order]
+        lat = df["rj_lat"].to_numpy()[order]
+        lon = df["rj_lon"].to_numpy()[order]
+        val = df["rj_val"].to_numpy()[order]
+        bounds = np.flatnonzero(np.diff(cell)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(cell)]))
+        out_id, out_num, out_den = [], [], []
+        for s, e in zip(starts, ends):
+            sl = side[s:e]
+            pm = sl == 1
+            bm = ~pm
+            if not pm.any() or not bm.any():
+                continue
+            pl_id, pl_la, pl_lo = ids[s:e][pm], lat[s:e][pm], lon[s:e][pm]
+            bl_la, bl_lo = lat[s:e][bm], lon[s:e][bm]
+            bl_v = val[s:e][bm]
+            for c0 in range(0, len(pl_id), chunk_rows):
+                c1 = min(c0 + chunk_rows, len(pl_id))
+                dm = haversine_km(pl_la[c0:c1, None], pl_lo[c0:c1, None],
+                                  bl_la[None, :], bl_lo[None, :])
+                hit = dm <= radius_km
+                if not hit.any():
+                    continue
+                dmm = np.floor(dm * 1000.0).astype(np.int64)
+                w = np.int64(1_000_000_000) // np.maximum(dmm, 1)
+                w = np.where(hit, w, 0)
+                out_id.append(pl_id[c0:c1])
+                out_num.append((w * bl_v[None, :]).sum(axis=1))
+                out_den.append(w.sum(axis=1))
+        if not out_id:
+            return _IDW_SCHEMA.empty_table()
+        t = pa.table({"left_id": pa.array(np.concatenate(out_id)),
+                      "num": pa.array(np.concatenate(out_num)),
+                      "den": pa.array(np.concatenate(out_den))})
+        return t.filter(pa.compute.greater(t["den"], 0))
+
+    both = build.union(probe)
+    parts = grouped_map(both, "cell", moments_partition,
+                        num_partitions=num_partitions, group_fn=False)
+    parts = parts.map_batches(
+        lambda b: b if b.num_columns else _IDW_SCHEMA.empty_table(),
+        batch_format="pyarrow")
+    return parts.groupby("left_id").aggregate(
+        Sum("num", alias_name="num"), Sum("den", alias_name="den"))

@@ -105,3 +105,41 @@ def test_nearest_join_matches_brute(ray_session):
     assert dict(zip(got["left_id"], got["right_id"])) == want
     # exactly one row per left id
     assert got["left_id"].is_unique
+
+
+def test_idw_join_matches_bruteforce(ray_session):
+    """Integer IDW moments equal a brute-force O(n*m) computation."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from georay.geom import haversine_km
+    from georay.tiles import idw_join
+
+    rng = np.random.RandomState(5)
+    blat = 50.8 + rng.rand(40) * 0.02
+    blon = 4.3 + rng.rand(40) * 0.02
+    bval = rng.randint(0, 50, 40).astype(np.int64)
+    plat = 50.8 + rng.rand(9) * 0.02
+    plon = 4.3 + rng.rand(9) * 0.02
+    right = ray.data.from_arrow(pa.table({
+        "place_id": pa.array(range(40), pa.int64()),
+        "lat": pa.array(blat), "lon": pa.array(blon),
+        "v": pa.array(bval)}))
+    left = ray.data.from_arrow(pa.table({
+        "cell_id": pa.array(range(100, 109), pa.int64()),
+        "lat": pa.array(plat), "lon": pa.array(plon)}))
+    got = idw_join(left, right, 1.0, val_col="v",
+                   num_partitions=4).to_pandas().set_index("left_id")
+
+    for i in range(9):
+        d = haversine_km(plat[i], plon[i], blat, blon)
+        hit = d <= 1.0
+        dm = np.floor(d * 1000.0).astype(np.int64)
+        w = np.where(hit, 1_000_000_000 // np.maximum(dm, 1), 0)
+        num, den = int((w * bval).sum()), int(w.sum())
+        if den == 0:
+            assert 100 + i not in got.index
+        else:
+            assert got.loc[100 + i, "num"] == num
+            assert got.loc[100 + i, "den"] == den
