@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_zone_join": e.q_geo_zone_join,
         "geo_idw": e.q_geo_idw,
         "geo_polygon_area": e.q_geo_polygon_area,
+        "geo_polygon_centroid": e.q_geo_polygon_centroid,
         "rel_median_per_key": e.q_rel_median_per_key,
         "geo_batch_geocode": e.q_geo_batch_geocode,
         "geo_documents_pipeline": e.q_geo_documents_pipeline,
@@ -98,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab_topk": e.q_doc_vocab_topk,
         "doc_hll_registers": e.q_doc_hll_registers,
         "doc_sample_per_lang": e.q_doc_sample_per_lang,
+        "doc_split": e.q_doc_split,
         "doc_length_quantiles": e.q_doc_length_quantiles,
         "doc_minhash_pairs": e.q_doc_minhash_pairs,
         "doc_dup_clusters": e.q_doc_dup_clusters,

@@ -488,6 +488,51 @@ def q_geo_path_length(sf_dir: str):
                        num_partitions=16, group_fn=False)
 
 
+def q_geo_polygon_centroid(sf_dir: str):
+    """Exact polygon centroid numerators per admin ring, pure int64:
+    coordinates translate to the ring's µdeg minimum first (without
+    translation (x+x')·cross overflows int64 at real-world magnitudes),
+    then cx_num = Σ(x_i+x_{i+1})·cross_i, cy_num likewise, a2 = Σcross_i
+    (signed).  The float centroid is (x0 + cx_num/(3·a2), y0 +
+    cy_num/(3·a2)) — two exact divisions away; the published columns
+    stay integers so the oracle is bit-exact like geo_polygon_area."""
+    d = ensure_synth(sf_dir)
+
+    def cent(batch: pa.Table) -> pa.Table:
+        idx = batch["bnd_idx"].to_numpy(zero_copy_only=False)
+        lats = batch["ring_lat"].to_pylist()
+        lons = batch["ring_lon"].to_pylist()
+        n = len(idx)
+        x0a = np.zeros(n, np.int64)
+        y0a = np.zeros(n, np.int64)
+        a2a = np.zeros(n, np.int64)
+        cxa = np.zeros(n, np.int64)
+        cya = np.zeros(n, np.int64)
+        for i, (la, lo) in enumerate(zip(lats, lons)):
+            ys = np.floor(np.asarray(la) * 1e6).astype(np.int64)
+            xs = np.floor(np.asarray(lo) * 1e6).astype(np.int64)
+            x0 = xs.min()
+            y0 = ys.min()
+            x = xs - x0
+            y = ys - y0
+            xn = np.roll(x, -1)
+            yn = np.roll(y, -1)
+            cross = x * yn - xn * y
+            x0a[i] = x0
+            y0a[i] = y0
+            a2a[i] = cross.sum()
+            cxa[i] = ((x + xn) * cross).sum()
+            cya[i] = ((y + yn) * cross).sum()
+        return pa.table({"bnd_idx": pa.array(idx.astype(np.int64)),
+                         "x0": pa.array(x0a), "y0": pa.array(y0a),
+                         "a2": pa.array(a2a), "cx_num": pa.array(cxa),
+                         "cy_num": pa.array(cya)})
+
+    ds = ray.data.read_parquet(os.path.join(d, "boundaries.parquet"),
+                               columns=["bnd_idx", "ring_lat", "ring_lon"])
+    return ds.map_batches(cent, batch_format="pyarrow")
+
+
 def q_rel_median_per_key(sf_dir: str):
     """Per-customer lower-median order price in integer cents: one
     co-partitioned shuffle, vectorized in-partition groupby-quantile
@@ -1889,6 +1934,18 @@ def q_doc_tfidf_top(sf_dir: str):
     return tfidf_top_terms(ds, ref, n_top=3)
 
 
+def q_doc_split(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split by content hash
+    (ops/sample.content_split): split = md5(id) bucketed by cumulative
+    weights — rerun/topology/resume-invariant, no RNG state; the SQL
+    oracle recomputes every row's bucket from the same big-endian
+    lower-64 md5 value."""
+    from .ops.sample import content_split
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id"])
+    return content_split(ds, "doc_id")
+
+
 def q_doc_bpe_merges(sf_dir: str):
     """Corpus top-30 adjacent token pairs — one BPE tokenizer-training
     merge round's statistic (ops/text.bigram_topk): map-side pair
@@ -2781,6 +2838,34 @@ def build_oracle_sql() -> dict[str, str]:
                    max(cast(floor(lon*1000000) as bigint)) as lon_max,
                    count(*) as n
             from {gaz} where place_rank = 26 group by 1""",
+        "geo_polygon_centroid": f"""
+            with b as (select bnd_idx,
+              [cast(floor(x*1000000) as bigint) for x in ring_lon] xs0,
+              [cast(floor(y*1000000) as bigint) for y in ring_lat] ys0,
+              len(ring_lat) n
+              from read_parquet('{s01}/boundaries.parquet')),
+            t0 as (select bnd_idx, n, xs0, ys0,
+                          list_min(xs0) x0, list_min(ys0) y0 from b),
+            t as (select bnd_idx, n, x0, y0,
+                         [x - x0 for x in xs0] xs,
+                         [y - y0 for y in ys0] ys
+                  from t0)
+            select bnd_idx, x0, y0,
+                   cast(list_sum([xs[i]*ys[i % n + 1]
+                                  - xs[i % n + 1]*ys[i]
+                                  for i in range(1, n + 1)])
+                        as bigint) as a2,
+                   cast(list_sum([(xs[i]+xs[i % n + 1])
+                                  * (xs[i]*ys[i % n + 1]
+                                     - xs[i % n + 1]*ys[i])
+                                  for i in range(1, n + 1)])
+                        as bigint) as cx_num,
+                   cast(list_sum([(ys[i]+ys[i % n + 1])
+                                  * (xs[i]*ys[i % n + 1]
+                                     - xs[i % n + 1]*ys[i])
+                                  for i in range(1, n + 1)])
+                        as bigint) as cy_num
+            from t""",
         "geo_polygon_area": f"""
             with b as (select bnd_idx,
               [cast(floor(x*1000000) as bigint) for x in ring_lon] xs,
@@ -2949,6 +3034,20 @@ def build_oracle_sql() -> dict[str, str]:
                    cast(sum(g.n_tokens) as bigint) as total_tokens
             from good g join l using (doc_id)
             group by 1""",
+        "doc_split": """
+            -- engine hashes the big-endian LOWER 64 bits of md5(str(id));
+            -- DuckDB's md5_number_* builtins are byte-reversed, so parse
+            -- the hex string instead
+            with h as (select doc_id,
+                cast(cast(concat('0x',
+                     substr(md5(cast(doc_id as varchar)), 17, 16))
+                     as ubigint) % 100 as bigint) hv
+              from documents)
+            select doc_id,
+                   case when hv < 80 then 'train'
+                        when hv < 90 then 'val'
+                        else 'test' end as split
+            from h""",
         "doc_bpe_merges": r"""
             with t as (select doc_id,
                               regexp_extract_all(lower(text), '\w+') toks

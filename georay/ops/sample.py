@@ -19,6 +19,39 @@ def _md5_str(v) -> str:
     return hashlib.md5(str(v).encode("utf-8")).hexdigest()
 
 
+def content_split(ds, id_col: str, weights=(80, 10, 10),
+                  names=("train", "val", "test")):
+    """Deterministic train/val/test split by content hash: a row's split
+    is ``md5(str(id)) mod sum(weights)`` bucketed by the cumulative
+    weights — no RNG state, so any rerun, cluster size, resume, or
+    late-arriving shard lands every row in the same split (the property
+    a training-data pipeline needs for reproducible holdouts and for
+    splitting incrementally-growing corpora without reshuffling old
+    rows).  Stateless single map; no shuffle.  Emits (id, split)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    total = int(sum(weights))
+    cuts = np.cumsum(weights)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        # lower 64 hex digits big-endian: SQL mirrors it exactly via
+        # cast('0x' || substr(md5(id), 17, 16) as ubigint) — DuckDB's
+        # md5_number_* builtins are byte-reversed and would not match
+        ids = batch[id_col].to_pylist()
+        hv = np.array(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[16:], 16)
+             % total for v in ids], np.int64)
+        si = np.searchsorted(cuts, hv, side="right")
+        return pa.table({id_col: batch[id_col],
+                         "split": pa.array([names[i] for i in si],
+                                           pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def deterministic_sample_per_key(ds, key_col: str, id_col: str,
                                  k: int) -> pa.Table:
     """Stratified sample: the ``k`` rows with the smallest
