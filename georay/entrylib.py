@@ -1469,6 +1469,37 @@ def q_rel_distinct_per_key(sf_dir: str):
                        num_partitions=8, group_fn=False)
 
 
+def q_rel_mode_per_key(sf_dir: str):
+    """Per-status modal order priority (the grouped MODE aggregate):
+    map-side (status, priority) partial counts — the shuffle moves one
+    row per distinct pair per block — one small groupby merge, then a
+    vectorized top-1 per status with the (n desc, priority asc) tie
+    order mirrored in the SQL window oracle."""
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderstatus", "o_orderpriority"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.group_by(["o_orderstatus", "o_orderpriority"]).aggregate(
+            [([], "count_all")])
+        return t.rename_columns(["o_orderstatus", "o_orderpriority", "n"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["o_orderstatus", "o_orderpriority"])
+              .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    # the merged table is (statuses x priorities) rows — tiny at any
+    # input scale, so the final top-1 runs on the driver
+    top = merged.sort_values(["o_orderstatus", "n", "o_orderpriority"],
+                             ascending=[True, False, True],
+                             kind="mergesort").groupby(
+        "o_orderstatus", sort=False).head(1)
+    return pa.table({
+        "o_orderstatus": pa.array(top["o_orderstatus"], pa.string()),
+        "mode_priority": pa.array(top["o_orderpriority"], pa.string()),
+        "n": pa.array(top["n"].to_numpy(np.int64))})
+
+
 def q_rel_cumsum(sf_dir: str):
     """Per-customer running order total (SUM OVER (PARTITION BY customer
     ORDER BY date, key)): co-partition by customer, ONE hash shuffle,
@@ -2966,6 +2997,16 @@ def build_oracle_sql() -> dict[str, str]:
             select event_type, strftime(ts, '%Y-%m-%d') as day,
                    count(*) as n
             from events group by 1, 2""",
+        "rel_mode_per_key": """
+            with c as (select o_orderstatus, o_orderpriority,
+                              count(*) n
+                       from orders group by 1, 2),
+            r as (select *, row_number() over (partition by o_orderstatus
+                         order by n desc, o_orderpriority asc) rn
+                  from c)
+            select o_orderstatus, o_orderpriority as mode_priority,
+                   cast(n as bigint) as n
+            from r where rn = 1""",
         "rel_p90_per_key": """
             select c_mktsegment as seg,
                    quantile_disc(cast(floor(o_totalprice*100+0.5)

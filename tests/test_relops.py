@@ -93,3 +93,18 @@ def test_distinct_per_key_matches_duckdb(ray_session):
         f"""select event_type, count(distinct user_id) as n_users
             from read_parquet('{SF}/events.parquet') group by 1""").df())
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+
+
+def test_mode_per_key_matches_duckdb(ray_session):
+    import pandas as pd
+    from georay.entrylib import q_rel_mode_per_key
+    eng = _canon(q_rel_mode_per_key(SF).to_pandas())
+    ora = _canon(_sql("""
+        with c as (select o_orderstatus, o_orderpriority, count(*) n
+                   from orders group by 1, 2),
+        r as (select *, row_number() over (partition by o_orderstatus
+                     order by n desc, o_orderpriority asc) rn from c)
+        select o_orderstatus, o_orderpriority as mode_priority,
+               cast(n as bigint) as n
+        from r where rn = 1"""))
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
