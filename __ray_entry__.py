@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_distinct_per_key": e.q_rel_distinct_per_key,
         "rel_p90_per_key": e.q_rel_p90_per_key,
         "rel_mode_per_key": e.q_rel_mode_per_key,
+        "rel_hourly_profile": e.q_rel_hourly_profile,
         "rel_semi_join": e.q_rel_semi_join,
         "rel_grouping_sets": e.q_rel_grouping_sets,
         # document / embedding training-data ops (testdata)

@@ -1469,6 +1469,35 @@ def q_rel_distinct_per_key(sf_dir: str):
                        num_partitions=8, group_fn=False)
 
 
+def q_rel_hourly_profile(sf_dir: str):
+    """Hour-of-day activity profile per event type (the tumbling
+    time-bucket aggregate over a cyclic key): per-batch pyarrow
+    hash-agg partials on (type, hour), one 24×types-row groupby merge.
+    Value sums are integer micro-units so they are exact."""
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["hour"] = df["ts"].dt.hour.astype(np.int64)
+        df["val_u"] = np.floor(
+            df["value"].to_numpy() * 1e6 + 0.5).astype(np.int64)
+        g = (df.groupby(["event_type", "hour"], sort=False)
+             .agg(n=("val_u", "size"), val_u=("val_u", "sum"))
+             .reset_index())
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "hour": pa.array(g["hour"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "val_u": pa.array(g["val_u"].to_numpy(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "hour"])
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("val_u", alias_name="val_u")))
+
+
 def q_rel_mode_per_key(sf_dir: str):
     """Per-status modal order priority (the grouped MODE aggregate):
     map-side (status, priority) partial counts — the shuffle moves one
@@ -2996,6 +3025,13 @@ def build_oracle_sql() -> dict[str, str]:
         "rel_events_daily": """
             select event_type, strftime(ts, '%Y-%m-%d') as day,
                    count(*) as n
+            from events group by 1, 2""",
+        "rel_hourly_profile": """
+            select event_type,
+                   cast(extract(hour from ts) as bigint) as hour,
+                   count(*) as n,
+                   cast(sum(cast(floor(value*1000000+0.5) as bigint))
+                        as bigint) as val_u
             from events group by 1, 2""",
         "rel_mode_per_key": """
             with c as (select o_orderstatus, o_orderpriority,
