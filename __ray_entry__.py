@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_hll_registers": e.q_doc_hll_registers,
         "doc_sample_per_lang": e.q_doc_sample_per_lang,
         "doc_split": e.q_doc_split,
+        "doc_importance_sample": e.q_doc_importance_sample,
         "doc_length_quantiles": e.q_doc_length_quantiles,
         "doc_minhash_pairs": e.q_doc_minhash_pairs,
         "doc_dup_clusters": e.q_doc_dup_clusters,

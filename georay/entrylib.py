@@ -1994,6 +1994,31 @@ def q_doc_tfidf_top(sf_dir: str):
     return tfidf_top_terms(ds, ref, n_top=3)
 
 
+def q_doc_importance_sample(sf_dir: str):
+    """Length-proportional deterministic resample: each doc survives
+    with probability min(1, n_tokens/100), decided by its content hash
+    (ops/sample.hash_weighted_keep) — the weighted-resampling shape a
+    curation pipeline uses to rebalance a corpus (any oracled per-doc
+    signal can be the weight; token count exercises the filter since
+    the synthetic corpus spans 10-99 tokens).  The SQL oracle
+    recomputes the exact survivor set from the same tokenizer and the
+    same hex-parsed md5 coin."""
+    from .ops.sample import hash_weighted_keep
+    from .ops.text import token_stats
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+
+    def add_qbp(batch: pa.Table) -> pa.Table:
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "qbp": pa.array(np.minimum(n * 10, 1000).astype(np.int64))})
+
+    scored = ds.map_batches(token_stats, batch_format="pyarrow") \
+               .map_batches(add_qbp, batch_format="pyarrow")
+    return hash_weighted_keep(scored, "doc_id", "qbp")
+
+
 def q_doc_split(sf_dir: str):
     """Deterministic 80/10/10 train/val/test split by content hash
     (ops/sample.content_split): split = md5(id) bucketed by cumulative
@@ -3111,6 +3136,22 @@ def build_oracle_sql() -> dict[str, str]:
                    cast(sum(g.n_tokens) as bigint) as total_tokens
             from good g join l using (doc_id)
             group by 1""",
+        "doc_importance_sample": r"""
+            with s as (
+              select doc_id,
+                     case when trim(text) = '' then 0
+                          else len(regexp_split_to_array(trim(text),
+                                                         '\s+')) end ntok
+              from documents),
+            qq as (select doc_id,
+                          least(cast(ntok * 10 as bigint), 1000) qbp
+                   from s),
+            h as (select doc_id, qbp,
+                    cast(cast(concat('0x',
+                         substr(md5(cast(doc_id as varchar)), 17, 16))
+                         as ubigint) % 1000 as bigint) hv
+                  from qq)
+            select doc_id, qbp from h where hv < qbp""",
         "doc_split": """
             -- engine hashes the big-endian LOWER 64 bits of md5(str(id));
             -- DuckDB's md5_number_* builtins are byte-reversed, so parse

@@ -19,6 +19,33 @@ def _md5_str(v) -> str:
     return hashlib.md5(str(v).encode("utf-8")).hexdigest()
 
 
+def hash_weighted_keep(ds, id_col: str, weight_col: str,
+                       scale: int = 1000):
+    """Deterministic importance subsampling: keep a row iff
+    ``md5(str(id)) lower-64 (big-endian) mod scale < weight`` — each
+    row survives with probability weight/scale, but the coin flip is
+    the row's CONTENT hash, so reruns, resumes, cluster sizes, and
+    incremental corpus growth all keep exactly the same rows (the
+    property quality-weighted training-data resampling needs; an RNG
+    would resample history on every change).  Stateless single map, no
+    shuffle; SQL mirrors it via the hex-parsed md5 (see content_split
+    for why DuckDB's md5_number builtins don't apply)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        w = batch[weight_col].to_numpy(zero_copy_only=False)
+        hv = np.array(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[16:], 16)
+             % scale for v in ids], np.int64)
+        return batch.filter(pa.array(hv < w))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def content_split(ds, id_col: str, weights=(80, 10, 10),
                   names=("train", "val", "test")):
     """Deterministic train/val/test split by content hash: a row's split
