@@ -721,3 +721,31 @@ def test_hll_bit_length_exact():
                      2**63, 2**64 - 1], dtype=np.uint64)
     want = np.array([int(v).bit_length() for v in vals.tolist()])
     assert np.array_equal(_bit_length_u64(vals), want)
+
+
+def test_content_split_deterministic(ray_session, docs):
+    """Split is rerun-invariant, partitions the corpus, and lands near
+    the 80/10/10 weights."""
+    from georay.ops.sample import content_split
+    a = content_split(docs, "doc_id").to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = content_split(docs.repartition(5), "doc_id").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)   # topology-invariant
+    counts = a["split"].value_counts()
+    n = len(a)
+    assert set(counts.index) <= {"train", "val", "test"}
+    assert counts.get("train", 0) > 0.6 * n
+    assert counts.sum() == n
+
+
+def test_hash_weighted_keep_extremes(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from georay.ops.sample import hash_weighted_keep
+    tbl = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                    "w": pa.array([0] * 25 + [1000] * 25, pa.int64())})
+    ds = ray.data.from_arrow(tbl)
+    kept = hash_weighted_keep(ds, "doc_id", "w").to_pandas()
+    # weight 0 never survives, weight == scale always survives
+    assert sorted(kept["doc_id"]) == list(range(25, 50))
