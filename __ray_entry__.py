@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_dup_spans": e.q_doc_dup_spans,
         "emb_topk_brute": e.q_emb_topk_brute,
         "emb_knn_graph": e.q_emb_knn_graph,
+        "emb_knn_graph_ivf": e.q_emb_knn_graph_ivf,
+        "emb_knn_graph_ivf_recall": e.q_emb_knn_graph_ivf_recall,
         "emb_kmeans": e.q_emb_kmeans,
         "emb_pca": e.q_emb_pca,
         "emb_topk_ivf": e.q_emb_topk_ivf,

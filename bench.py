@@ -217,7 +217,8 @@ def run_bench() -> dict:
     # is a function of Ray's write task ordering — regenerating the
     # corpus reshuffled the sample and moved the pair count (118,711 /
     # 116,480 / 117,732 across three layouts of identical content).
-    shard_docs = 1000          # ensure_corpus default shard size
+    from georay.corpus import SHARD_DOCS
+    shard_docs = SHARD_DOCS    # shared with write_bench_corpus above
     n_need = max(1, (target // 2) // shard_docs)
     import pyarrow.dataset as pads
     cutoff = f"s{n_need:05d}_"

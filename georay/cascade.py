@@ -649,9 +649,29 @@ class CascadeGeocoder:
         self.parser.memo_enabled = self.cfg.with_worker_memos
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        out = process_addresses_df(df, self.gazetteer, self.parser, self.cfg)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        """Arrow-native split (round-4, mirrors the span path): only the
+        6 input columns enter pandas; any passthrough columns are
+        re-attached on the Arrow side with an integer take — the whole-
+        batch ``to_pandas`` round-trip was the flat path's dominant
+        memory traffic."""
+        import pyarrow.compute as pc
+        base = [ADDR_KEY] + INPUT_FIELDS
+        extra = [c for c in batch.column_names if c not in base]
+        df = batch.select(base).to_pandas()
+        out = process_addresses_df(df, self.gazetteer, self.parser,
+                                   self.cfg)
+        res_tbl = pa.Table.from_pandas(out[list(RESULT_COLUMNS)],
+                                       schema=RESULT_SCHEMA,
+                                       preserve_index=False)
+        if not extra:
+            return res_tbl
+        # cascade emits >=1 row per addr_key; keys are batch-unique
+        lookup = {k: i for i, k in enumerate(batch[ADDR_KEY].to_pylist())}
+        idx = pa.array([lookup[k] for k in out[ADDR_KEY]], pa.int64())
+        cols = {c: res_tbl[c] for c in res_tbl.column_names}
+        for c in extra:
+            cols[c] = pc.take(batch[c], idx)
+        return pa.table(cols)
 
 
 # Per-worker-process component cache for the STATELESS-TASK execution

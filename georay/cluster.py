@@ -98,7 +98,7 @@ def _flag_edges(edges, key_col: str, cores, carry: list,
 
 def dbscan(points, eps_km: float, min_pts: int, *,
            id_col: str = "place_id", lat_col: str = "lat",
-           lon_col: str = "lon", num_partitions: int = 64):
+           lon_col: str = "lon", num_partitions: int | None = None):
     """DBSCAN over a point Dataset; returns (place_id, role, cluster)
     with role in {'core','border','noise'} and cluster = the minimum
     core id of the cluster (-1 for noise).  See module docstring for
@@ -106,7 +106,9 @@ def dbscan(points, eps_km: float, min_pts: int, *,
     import ray.data
 
     from .ops.dedup import connected_components
-    from .shuffle import grouped_map
+    from .shuffle import adaptive_partitions, grouped_map
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     def bounded(ds):
         # grouped_map/union preserve block granularity, so the flag-join
@@ -132,16 +134,27 @@ def dbscan(points, eps_km: float, min_pts: int, *,
 
     edges = bounded(pairs.map_batches(double, batch_format="pyarrow"))
 
-    deg = edges.groupby("u").count()  # (u, count())
+    if min_pts <= 1:
+        # textbook DBSCAN: every point is core at min_pts=1 — isolated
+        # points have no edge rows (hence no degree row), so seeding
+        # cores from the degree table would mislabel them noise
+        cores = points.map_batches(
+            lambda b: pa.table({"node": pa.array(
+                b[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                pa.int64())}),
+            batch_format="pyarrow").materialize()
+    else:
+        deg = edges.groupby("u").count()  # (u, count())
 
-    def core_only(batch: pa.Table) -> pa.Table:
-        n = batch["count()"].to_numpy(zero_copy_only=False)
-        keep = n + 1 >= min_pts
-        return pa.table({"node": pa.array(
-            batch["u"].to_numpy(zero_copy_only=False)[keep], pa.int64())})
+        def core_only(batch: pa.Table) -> pa.Table:
+            n = batch["count()"].to_numpy(zero_copy_only=False)
+            keep = n + 1 >= min_pts
+            return pa.table({"node": pa.array(
+                batch["u"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64())})
 
-    cores = deg.map_batches(core_only,
-                            batch_format="pyarrow").materialize()
+        cores = deg.map_batches(core_only,
+                                batch_format="pyarrow").materialize()
 
     e1 = _flag_edges(edges, "u", cores, carry=["v"],
                      num_partitions=num_partitions)
@@ -239,10 +252,15 @@ def dbscan(points, eps_km: float, min_pts: int, *,
         is_border = (~is_core) & bcomp.notna().to_numpy()
         role = np.where(is_core, "core",
                         np.where(is_border, "border", "noise"))
-        cluster = np.where(
-            is_core, ccomp.fillna(-1).to_numpy(np.float64),
-            np.where(is_border, bcomp.fillna(-1).to_numpy(np.float64),
-                     -1.0)).astype(np.int64)
+        # integer-exact label path: a float64 intermediate would
+        # silently corrupt cluster ids (place_ids) above 2^53
+        ccomp_i = ccomp.astype("Int64").fillna(-1).to_numpy(
+            dtype=np.int64, na_value=-1)
+        bcomp_i = bcomp.astype("Int64").fillna(-1).to_numpy(
+            dtype=np.int64, na_value=-1)
+        cluster = np.where(is_core, ccomp_i,
+                           np.where(is_border, bcomp_i,
+                                    np.int64(-1)))
         return pa.table({"place_id": pa.array(ids, pa.int64()),
                          "role": pa.array(role.tolist(), pa.string()),
                          "cluster": pa.array(cluster, pa.int64())})

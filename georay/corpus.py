@@ -135,9 +135,15 @@ def make_addresses(n: int, spec: GazetteerSpec | None = None,
     return pd.DataFrame(rows)
 
 
+# one parquet shard per SHARD_DOCS documents; bench.py's content-
+# addressed sample cutoff derives from the same constant so the doc_id
+# range and the corpus layout cannot drift apart
+SHARD_DOCS = 1000
+
+
 def write_bench_corpus(out_dir: str, n_docs: int,
                        spec: GazetteerSpec | None = None,
-                       shard_docs: int = 1000, seed: int = 7) -> str:
+                       shard_docs: int = SHARD_DOCS, seed: int = 7) -> str:
     """Distributed, deterministic corpus synthesis: each Ray task builds
     one shard with ``make_documents(seed + shard)`` and a shard-prefixed
     doc_id, written as one parquet partition.  Idempotent (marker file);

@@ -198,8 +198,7 @@ def q_geo_radius_join(sf_dir: str):
             lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
             batch_format="pyarrow")
 
-    pairs = radius_join(streets(), streets(), 1.0, distinct_pairs=True,
-                        num_partitions=16)
+    pairs = radius_join(streets(), streets(), 1.0, distinct_pairs=True)
     return pairs.select_columns(["left_id", "right_id"])
 
 
@@ -219,8 +218,7 @@ def q_geo_nearest_join(sf_dir: str):
             lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
             batch_format="pyarrow")
 
-    best = nearest_join(streets(), streets(), 1.0, exclude_self=True,
-                        num_partitions=16)
+    best = nearest_join(streets(), streets(), 1.0, exclude_self=True)
     return best.select_columns(["left_id", "right_id"])
 
 
@@ -280,7 +278,7 @@ def q_geo_idw(sf_dir: str):
 
     cells = distinct_on(
         streets().map_batches(cells_of, batch_format="pyarrow"),
-        ["cell_id"], num_partitions=8)
+        ["cell_id"])
 
     def centers(batch: pa.Table) -> pa.Table:
         cid = batch["cell_id"].to_numpy(zero_copy_only=False)
@@ -290,7 +288,7 @@ def q_geo_idw(sf_dir: str):
                          "lat": pa.array(clat), "lon": pa.array(clon)})
 
     ctr = cells.map_batches(centers, batch_format="pyarrow")
-    out = idw_join(ctr, streets(), 1.0, val_col="v", num_partitions=16)
+    out = idw_join(ctr, streets(), 1.0, val_col="v")
     return out.map_batches(
         lambda b: b.rename_columns(["cell_id", "num", "den"]),
         batch_format="pyarrow")
@@ -436,7 +434,7 @@ def q_geo_dbscan(sf_dir: str):
     streets = ds.map_batches(
         lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
         batch_format="pyarrow")
-    return dbscan(streets, 1.0, 3, num_partitions=8)
+    return dbscan(streets, 1.0, 3)
 
 
 def q_geo_path_length(sf_dir: str):
@@ -485,7 +483,7 @@ def q_geo_path_length(sf_dir: str):
             "path_ukm": pa.array(g["sum"].to_numpy(np.int64))})
 
     return grouped_map(streets, "post_code", per_partition,
-                       num_partitions=16, group_fn=False)
+                       group_fn=False)
 
 
 def q_geo_polygon_centroid(sf_dir: str):
@@ -564,8 +562,7 @@ def q_rel_median_per_key(sf_dir: str):
                          "med_cents": pa.array(cents[pick].astype(np.int64))})
 
     cents = ds.map_batches(add_cents, batch_format="pyarrow")
-    return grouped_map(cents, "o_custkey", med, num_partitions=32,
-                       group_fn=False)
+    return grouped_map(cents, "o_custkey", med, group_fn=False)
 
 
 def q_rel_p90_per_key(sf_dir: str):
@@ -611,8 +608,7 @@ def q_rel_p90_per_key(sf_dir: str):
                          "p90_cents": pa.array(cents[pick].astype(np.int64))})
 
     withseg = ds.map_batches(add_seg, batch_format="pyarrow")
-    return grouped_map(withseg, "seg", p90, num_partitions=8,
-                       group_fn=False)
+    return grouped_map(withseg, "seg", p90, group_fn=False)
 
 
 def q_geo_knn(sf_dir: str):
@@ -1164,8 +1160,7 @@ def q_rel_top1_per_key(sf_dir: str):
         return df.drop_duplicates("o_custkey")
 
     from .shuffle import grouped_map
-    return grouped_map(partials, "o_custkey", final, num_partitions=16,
-                       group_fn=False)
+    return grouped_map(partials, "o_custkey", final, group_fn=False)
 
 
 def q_rel_anti_join(sf_dir: str):
@@ -1203,8 +1198,7 @@ def q_rel_anti_join(sf_dir: str):
         keep = probe[~probe.isin(have)].to_numpy()
         return pa.table({"c_custkey": pa.array(keep, pa.int64())})
 
-    out = grouped_map(cust.union(orders), "k", anti, num_partitions=32,
-                      group_fn=False)
+    out = grouped_map(cust.union(orders), "k", anti, group_fn=False)
     # typed-empty guard WITHOUT driver row materialization: materialize
     # pins the blocks in the OBJECT STORE (not driver heap) so the
     # count and the consumer share one execution.  (An all-empty
@@ -1297,8 +1291,7 @@ def q_rel_first_event(sf_dir: str):
         return df.drop_duplicates("user_id")[["user_id", "event_id"]]
 
     from .shuffle import grouped_map
-    return grouped_map(partials, "user_id", final, num_partitions=16,
-                       group_fn=False)
+    return grouped_map(partials, "user_id", final, group_fn=False)
 
 
 def q_rel_asof_join(sf_dir: str):
@@ -1350,7 +1343,7 @@ def q_rel_asof_join(sf_dir: str):
                 m["o_orderkey"].to_numpy(np.float64).astype(np.int64))})
 
     return grouped_map(ev.union(od), "user_id", per_partition,
-                       num_partitions=16, group_fn=False)
+                       group_fn=False)
 
 
 def q_rel_sessionize(sf_dir: str):
@@ -1381,8 +1374,7 @@ def q_rel_sessionize(sf_dir: str):
                                     pa.int64()),
             "n_events": pa.array(out["n_events"].to_numpy(), pa.int64())})
 
-    return grouped_map(ds, "user_id", per_partition, num_partitions=16,
-                       group_fn=False)
+    return grouped_map(ds, "user_id", per_partition, group_fn=False)
 
 
 def q_rel_window_7d(sf_dir: str):
@@ -1419,7 +1411,7 @@ def q_rel_window_7d(sf_dir: str):
             "n7": pa.array(g["n7"].to_numpy(), pa.int64())})
 
     return grouped_map(partials, "user_id", per_partition,
-                       num_partitions=16, group_fn=False)
+                       group_fn=False)
 
 
 def q_rel_events_daily(sf_dir: str):
@@ -1466,7 +1458,7 @@ def q_rel_distinct_per_key(sf_dir: str):
 
     pairs = ds.map_batches(local_dedup, batch_format="pyarrow")
     return grouped_map(pairs, "event_type", count_distinct,
-                       num_partitions=8, group_fn=False)
+                       group_fn=False)
 
 
 def q_rel_hourly_profile(sf_dir: str):
@@ -1562,8 +1554,7 @@ def q_rel_cumsum(sf_dir: str):
             "run_cents": pa.array(cum.to_numpy(), pa.int64())})
 
     cents = ds.map_batches(add_cents, batch_format="pyarrow")
-    return grouped_map(cents, "o_custkey", run, num_partitions=32,
-                       group_fn=False)
+    return grouped_map(cents, "o_custkey", run, group_fn=False)
 
 
 def q_rel_semi_join(sf_dir: str):
@@ -1606,8 +1597,7 @@ def q_rel_semi_join(sf_dir: str):
         keep = probe[probe.isin(have)].to_numpy()
         return pa.table({"c_custkey": pa.array(keep, pa.int64())})
 
-    out = grouped_map(cust.union(orders), "k", semi, num_partitions=32,
-                      group_fn=False)
+    out = grouped_map(cust.union(orders), "k", semi, group_fn=False)
     out = out.materialize()
     if out.count() == 0:
         return pa.table({"c_custkey": pa.array([], pa.int64())})
@@ -1860,7 +1850,7 @@ def q_doc_curation(sf_dir: str):
         ann, "content_key",
         lambda df: df.sort_values("doc_id", kind="mergesort")
                      .drop_duplicates("content_key"),
-        num_partitions=8, group_fn=False)
+        group_fn=False)
     good = kept.map_batches(
         lambda b: b.filter(pa.compute.greater_equal(b["quality"], 0.7)),
         batch_format="pyarrow")
@@ -2107,6 +2097,53 @@ def q_emb_knn_graph(sf_dir: str):
     out = knn_graph(ds, ref["vec_id"].to_numpy(), mat, k=3).to_pandas()
     out = out[["src_id", "nbr_id", "rank"]].rename(columns={"rank": "rnk"})
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_emb_knn_graph_ivf(sf_dir: str):
+    """Scale-path kNN graph (round-4: the broadcast plan is demoted to
+    the small-side fast path — this is the default above the object-
+    store guard).  FULL content oracle via the codebook-as-parameter
+    pattern (emb_topk_ivf): the snapshotted centroids let DuckDB
+    recompute the entire bucketed search from the raw embeddings —
+    home-bucket assignment per vector, n_probe probe set per source,
+    exact top-k among candidates whose home bucket is probed, ties
+    (cosine desc, id asc) mirrored on both sides."""
+    from .ops.similarity import _normalize, kmeans_lite, knn_graph_bucketed
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    sample = pq.read_table(path, columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", 256)]
+                           ).to_pandas().sort_values("vec_id")
+    mat = np.array(sample["embedding"].tolist(), dtype=np.float64)
+    cents = kmeans_lite(mat, n_clusters=8)
+    cn = _normalize(np.asarray(cents, dtype=np.float64))
+    _write_snapshot(pa.table({
+        "cent_id": pa.array(range(len(cn)), pa.int64()),
+        "vec": pa.array([row.tolist() for row in cn],
+                        pa.list_(pa.float64()))}), sf_dir,
+        "knn_graph_centroids")
+    out = knn_graph_bucketed(ds, cents, k=3, n_probe=3).to_pandas()
+    out = out[["src_id", "nbr_id", "rank"]].rename(columns={"rank": "rnk"})
+    return pa.Table.from_pandas(out.sort_values(["src_id", "rnk"]),
+                                preserve_index=False)
+
+
+def q_emb_knn_graph_ivf_recall(sf_dir: str):
+    """Recall oracle for the bucketed kNN graph: per source, how many of
+    its bucketed top-3 appear in the EXACT top-3 (the engine intersects
+    its own two plans; SQL intersects the snapshotted bucketed rows with
+    a windowed exact top-3 from the raw embeddings)."""
+    ivf = q_emb_knn_graph_ivf(sf_dir)
+    _write_snapshot(ivf, sf_dir, "knn_graph_ivf_input")
+    exact = q_emb_knn_graph(sf_dir).to_pandas()
+    iv = ivf.to_pandas()
+    hits = iv.merge(exact, on=["src_id", "nbr_id"]).groupby(
+        "src_id").size()
+    srcs = sorted(iv["src_id"].unique())
+    return pa.table({
+        "src_id": pa.array([int(s) for s in srcs], pa.int64()),
+        "n_hits": pa.array([int(hits.get(s, 0)) for s in srcs],
+                           pa.int64())})
 
 
 def q_emb_topk_ivf(sf_dir: str):
@@ -3395,6 +3432,47 @@ def build_oracle_sql() -> dict[str, str]:
                        from embeddings a join embeddings b
                          on a.vec_id <> b.vec_id)
             select src_id, nbr_id, rnk from d where rnk <= 3""",
+        "emb_knn_graph_ivf": f"""
+            -- full bucketed-graph recompute given the snapshotted
+            -- codebook: home bucket per vector, n_probe=3 probe set per
+            -- source, exact top-3 among probed-bucket candidates
+            with cents as (select cent_id, vec from read_parquet(
+                               '{s01}/knn_graph_centroids/*.parquet')),
+            a1 as (select e.vec_id, c.cent_id,
+                          row_number() over (partition by e.vec_id order by
+                            list_cosine_similarity(c.vec, e.embedding) desc,
+                            c.cent_id) rn
+                   from embeddings e, cents c),
+            assign as (select vec_id, cent_id from a1 where rn = 1),
+            probe as (select vec_id, cent_id from a1 where rn <= 3),
+            d as (select s.vec_id src_id, e.vec_id nbr_id,
+                         row_number() over (partition by s.vec_id order by
+                           list_cosine_similarity(s.embedding, e.embedding)
+                             desc,
+                           e.vec_id asc) rnk
+                  from embeddings s
+                  join probe p on p.vec_id = s.vec_id
+                  join assign a on a.cent_id = p.cent_id
+                  join embeddings e on e.vec_id = a.vec_id
+                                    and e.vec_id <> s.vec_id)
+            select src_id, nbr_id, rnk from d where rnk <= 3""",
+        "emb_knn_graph_ivf_recall": f"""
+            with d as (select a.vec_id src_id, b.vec_id nbr_id,
+                         row_number() over (partition by a.vec_id order by
+                           list_cosine_similarity(a.embedding, b.embedding)
+                             desc,
+                           b.vec_id asc) rnk
+                       from embeddings a join embeddings b
+                         on a.vec_id <> b.vec_id),
+            snap as (select src_id, nbr_id from read_parquet(
+                         '{s01}/knn_graph_ivf_input/*.parquet')),
+            srcs as (select distinct src_id from snap)
+            select srcs.src_id,
+                   (select count(*) from snap s
+                    join d on d.src_id = s.src_id and d.nbr_id = s.nbr_id
+                    where d.rnk <= 3 and s.src_id = srcs.src_id)
+                   as n_hits
+            from srcs""",
         "emb_topk_brute": """
             with q as (select vec_id qid, embedding qe from embeddings
                        where vec_id < 5),

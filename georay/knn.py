@@ -240,7 +240,7 @@ def knn_points_broadcast(query_df: pd.DataFrame, ref_lat: np.ndarray,
 
 def knn_join_copartitioned(queries, refs, bucket_fn, score_fn, k: int = 3,
                            query_cols=None, ref_cols=None,
-                           num_partitions: int = 32,
+                           num_partitions: int | None = None,
                            neighbor_id_dtype=np.int64):
     """Generic both-sides-large kNN join over Ray Datasets.
 

@@ -36,20 +36,59 @@ _WORD = re.compile(r"\w+", re.U)
 _MERSENNE = (1 << 61) - 1
 
 
+def _shingle_ranges(texts: list, n: int, short_docs_whole: bool = True
+                    ) -> tuple:
+    """Every word n-gram shingle of every doc as a (start, len) RANGE of
+    one concatenated token-stream buffer: a rolling shingle is a
+    contiguous slice of its doc's ``" ".join(tokens)``, so no per-gram
+    Python string is ever built (round-4: the per-gram join + md5 call
+    was the dominant per-token cost of the minhash/dup-span family).
+
+    Returns ``(buf uint8, starts int64, lens int64, counts int64)`` with
+    ``counts[d]`` = shingles of doc d.  ``short_docs_whole``: docs with
+    0 < tokens < n emit one whole-doc shingle (minhash convention) or
+    none (dup-span convention)."""
+    parts: list[bytes] = []
+    starts_l: list[np.ndarray] = []
+    lens_l: list[np.ndarray] = []
+    counts = np.zeros(len(texts), dtype=np.int64)
+    base = 0
+    for di, t in enumerate(texts):
+        toks = [w.lower().encode("utf-8") for w in _WORD.findall(t or "")]
+        m = len(toks)
+        if m == 0 or (m < n and not short_docs_whole):
+            continue
+        joined = b" ".join(toks)
+        tl = np.fromiter((len(x) for x in toks), np.int64, count=m)
+        off = np.zeros(m, np.int64)
+        np.cumsum(tl[:-1] + 1, out=off[1:])
+        if m < n:
+            st = np.array([base], np.int64)
+            ln = np.array([len(joined)], np.int64)
+        else:
+            cnt = m - n + 1
+            st = off[:cnt] + base
+            ln = off[n - 1:] + tl[n - 1:] - off[:cnt]
+        parts.append(joined)
+        starts_l.append(st)
+        lens_l.append(ln)
+        counts[di] = len(st)
+        base += len(joined)
+    if not parts:
+        return (np.zeros(0, np.uint8), np.zeros(0, np.int64),
+                np.zeros(0, np.int64), counts)
+    buf = np.frombuffer(b"".join(parts), dtype=np.uint8)
+    return buf, np.concatenate(starts_l), np.concatenate(lens_l), counts
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     """64-bit hashes of word n-gram shingles: little-endian first 8 md5
     digest bytes — deterministic across processes (unlike Python's str
     hash) AND equal to DuckDB's ``md5_number_upper``, so the LSH oracles
     can replicate signatures value-for-value in SQL."""
-    toks = [t.lower() for t in _WORD.findall(text or "")]
-    if len(toks) < n:
-        joined = [" ".join(toks)] if toks else []
-    else:
-        joined = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-    return np.array(
-        [int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8],
-                        "little") for s in joined],
-        dtype=np.uint64)
+    from .md5vec import md5_u64_le_ranges
+    buf, st, ln, _ = _shingle_ranges([text], n)
+    return md5_u64_le_ranges(buf, st, ln)
 
 
 # per-worker-process cache: the hasher's permutation coefficients are
@@ -104,8 +143,49 @@ class MinHasher:
         v = (self.a[:, None] * h[None, :] + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
 
+    def signatures_from_hashes(self, h: np.ndarray, counts: np.ndarray
+                               ) -> np.ndarray:
+        """(n_docs, k) signatures from pre-hashed shingles (concatenated
+        per doc, ``counts[d]`` shingles each): the per-doc min over
+        (a*h + b) mod p computed as ONE ``minimum.reduceat`` per chunk —
+        identical arithmetic (and bit output) to ``signature`` per row.
+        Docs with zero shingles get the all-zeros signature.  Chunked so
+        the (k, shingles) work matrix stays malloc-arena-sized (fresh
+        huge mmaps page-fault expensively on this host)."""
+        ndocs = len(counts)
+        sig = np.zeros((ndocs, self.k), dtype=np.uint64)
+        nz = np.flatnonzero(counts)
+        if not len(nz):
+            return sig
+        ends = np.cumsum(counts[nz])
+        seg_starts = ends - counts[nz]
+        per_chunk = max(1, (1 << 19) // self.k)   # ~8k shingles/chunk
+        i = 0
+        while i < len(nz):
+            j = i
+            tot = 0
+            while j < len(nz) and tot < per_chunk:
+                tot += int(counts[nz[j]])
+                j += 1
+            lo, hi = int(seg_starts[i]), int(ends[j - 1])
+            hh = h[lo:hi]
+            v = (self.a[:, None] * hh[None, :]
+                 + self.b[:, None]) % _MERSENNE
+            segs = (seg_starts[i:j] - lo).astype(np.int64)
+            sig[nz[i:j]] = np.minimum.reduceat(v, segs, axis=1).T
+            i = j
+        return sig
+
+    def signatures_batch(self, texts: list) -> np.ndarray:
+        """(n_docs, k) uint64 signatures for a whole batch: shingle
+        ranges -> one vectorized md5 pass -> reduceat mins."""
+        from .md5vec import md5_u64_le_ranges
+        buf, st, ln, counts = _shingle_ranges(texts, self.shingle_n)
+        return self.signatures_from_hashes(
+            md5_u64_le_ranges(buf, st, ln), counts)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = [self.signature(t) for t in batch["text"].to_pylist()]
+        sigs = self.signatures_batch(batch["text"].to_pylist())
         arr = pa.array([s.astype("int64").tolist() for s in sigs],
                        pa.list_(pa.int64()))
         return batch.append_column("minhash", arr)
@@ -117,8 +197,9 @@ def exact_duplicates(ds: "ray.data.Dataset", id_col: str = "doc_id",
     (doc_id, keeper_id, content_key).  Hash-partition + per-group-min."""
     def add_key(batch: pa.Table) -> pa.Table:
         default_gc()
-        keys = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-                for t in batch[text_col].to_pylist()]
+        from .md5vec import md5_hex
+        keys = md5_hex([(t or "").encode("utf-8")
+                        for t in batch[text_col].to_pylist()])
         return pa.table({id_col: batch[id_col],
                          "content_key": pa.array(keys, pa.string())})
 
@@ -166,9 +247,7 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
         hasher = get_minhasher(k=k, shingle_n=shingle_n)
         texts = batch[text_col].to_pylist()
         n = len(texts)
-        sig = np.empty((n, k), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sig[i] = hasher.signature(t)
+        sig = hasher.signatures_batch(texts)
         ids_np = batch[id_col].to_numpy(zero_copy_only=False)
         bkts = np.empty(n * bands, dtype=np.uint64)
         for b in range(bands):
@@ -231,7 +310,11 @@ def minhash_lsh_pairs(ds: "ray.data.Dataset", bands: int = 16, k: int = 64,
 
 
 def simhash64(text: str) -> np.uint64:
-    """64-bit SimHash over word hashes (published Charikar construction)."""
+    """64-bit SimHash over word hashes (published Charikar construction).
+
+    TEST ORACLE ONLY: the transparent scalar definition the vectorized
+    ``simhash64_batch`` is pinned against in tests — no production stage
+    calls this per-row loop."""
     acc = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     for w in _WORD.findall((text or "").lower()):
@@ -264,9 +347,8 @@ def simhash64_batch(texts: list[str]) -> np.ndarray:
     out = np.zeros(n, dtype=np.uint64)
     if not vocab:
         return out
-    hashes = np.fromiter(
-        (int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "little")
-         for w in vocab), dtype=np.uint64, count=len(vocab))
+    from .md5vec import md5_u64_le
+    hashes = md5_u64_le([w.encode() for w in vocab])
     shifts = np.arange(64, dtype=np.uint64)
     bits_pm = (((hashes[:, None] >> shifts[None, :]) & np.uint64(1))
                .astype(np.int32) * 2 - 1)                 # (V, 64) ±1
@@ -372,15 +454,16 @@ def ngram_jaccard_pairs(ds: "ray.data.Dataset", threshold: float = 0.6,
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         default_gc()
+        from .md5vec import md5_u64_le_ranges
         hasher = get_minhasher(k=k, shingle_n=shingle_n)
         texts = batch[text_col].to_pylist()
         n = len(texts)
-        sig = np.empty((n, k), dtype=np.uint64)
-        shingles = []
-        for i, t in enumerate(texts):
-            sig[i] = hasher.signature(t)
-            shingles.append(sorted(set(_shingle_hashes(t,
-                                                       shingle_n).tolist())))
+        buf, st, ln, counts = _shingle_ranges(texts, shingle_n)
+        hashes = md5_u64_le_ranges(buf, st, ln)
+        sig = hasher.signatures_from_hashes(hashes, counts)
+        bounds = np.r_[0, np.cumsum(counts)]
+        shingles = [np.unique(hashes[bounds[i]:bounds[i + 1]]).tolist()
+                    for i in range(n)]
         ids_np = batch[id_col].to_numpy(zero_copy_only=False)
         bkts = np.empty(n * bands, dtype=np.uint64)
         for b in range(bands):   # vectorized band keys (see minhash)
@@ -503,7 +586,7 @@ def embedding_dup_pairs(ds: "ray.data.Dataset", threshold: float = 0.95,
 
 def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
                          id_b: str = "id_b", max_iters: int = 12,
-                         num_partitions: int = 64) -> "ray.data.Dataset":
+                         num_partitions: int | None = None) -> "ray.data.Dataset":
     """Duplicate-CLUSTER labels from a near-dup pair list: (node, comp)
     for every node appearing in ``pairs``, where ``comp`` is the minimum
     node id reachable through the pair graph — the canonical
@@ -534,7 +617,9 @@ def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
     here use int64 doc ids)."""
     import ray.data
 
-    from ..shuffle import distinct_on, grouped_map
+    from ..shuffle import adaptive_partitions, distinct_on, grouped_map
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     def to_edges(batch: pa.Table) -> pa.Table:
         default_gc()
@@ -677,7 +762,7 @@ def keep_canonical(docs: "ray.data.Dataset", components: "ray.data.Dataset",
 def duplicate_spans(ds: "ray.data.Dataset", n: int = 16,
                     id_col: str = "doc_id", text_col: str = "text",
                     sample_hex: int = 16,
-                    num_partitions: int = 16) -> "ray.data.Dataset":
+                    num_partitions: int | None = None) -> "ray.data.Dataset":
     """Exact substring (duplicate n-gram span) detection, the
     suffix-array-style dedup signal from the published exact-substring
     dedup literature, expressed shuffle-wise: per-doc map emits one
@@ -694,26 +779,42 @@ def duplicate_spans(ds: "ray.data.Dataset", n: int = 16,
     """
     def emit(batch: pa.Table) -> pa.Table:
         default_gc()
-        ids_out, grams_out, occ = [], [], []
-        for rid, t in zip(batch[id_col].to_pylist(),
-                          batch[text_col].to_pylist()):
-            toks = [w.lower() for w in _WORD.findall(t or "")]
-            if len(toks) < n:
-                continue
-            counts: dict = {}
-            for i in range(len(toks) - n + 1):
-                g = " ".join(toks[i:i + n])
-                h = hashlib.md5(g.encode("utf-8")).hexdigest()
-                if int(h[0], 16) >= sample_hex:
-                    continue
-                counts[h] = counts.get(h, 0) + 1
-            for h, c in counts.items():
-                ids_out.append(rid)
-                grams_out.append(h)
-                occ.append(c)
+        from .md5vec import md5_digests_ranges
+        texts = batch[text_col].to_pylist()
+        id_t = batch[id_col].type
+        empty = pa.table({"gram_md5": pa.array([], pa.string()),
+                          id_col: pa.array([], id_t),
+                          "n_occ": pa.array([], pa.int64())})
+        # grams as ranges of the token-stream buffer (no per-gram join),
+        # docs under n tokens emit nothing (dup-span convention)
+        buf, st, ln, counts = _shingle_ranges(texts, n,
+                                              short_docs_whole=False)
+        if not len(st):
+            return empty
+        dig = md5_digests_ranges(buf, st, ln)        # (total, 16)
+        keep = (dig[:, 0] >> 4) < sample_hex         # first hex digit
+        if not keep.any():
+            return empty
+        di = np.repeat(np.arange(len(texts), dtype=np.int64),
+                       counts)[keep]
+        dig = np.ascontiguousarray(dig[keep])
+        u = dig.view("<u8").reshape(-1, 2)           # (m, 2) digest words
+        # vectorized per-(doc, gram) occurrence count: lexsort + run ends
+        order = np.lexsort((u[:, 1], u[:, 0], di))
+        di_s = di[order]
+        u_s = u[order]
+        new = np.r_[True, (di_s[1:] != di_s[:-1])
+                    | (u_s[1:, 0] != u_s[:-1, 0])
+                    | (u_s[1:, 1] != u_s[:-1, 1])]
+        starts = np.flatnonzero(new)
+        occ = np.diff(np.r_[starts, len(di_s)])
+        rep = order[starts]                          # one row per group
+        hex_all = dig[rep].tobytes().hex()
+        grams_out = [hex_all[i * 32:(i + 1) * 32] for i in range(len(rep))]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table({"gram_md5": pa.array(grams_out, pa.string()),
-                         id_col: pa.array(ids_out, batch[id_col].type),
-                         "n_occ": pa.array(occ, pa.int64())})
+                         id_col: pa.array(ids[di_s[starts]], id_t),
+                         "n_occ": pa.array(occ.astype(np.int64))})
 
     from ..shuffle import grouped_map
     parts = ds.map_batches(emit, batch_format="pyarrow")

@@ -94,7 +94,7 @@ def topk_cosine_brute(ds: "ray.data.Dataset", queries: np.ndarray,
 
     from ..shuffle import grouped_map
     return grouped_map(partials, "query_id", merge_partition,
-                       num_partitions=16, group_fn=False)
+                       group_fn=False)
 
 
 def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 10,
@@ -162,27 +162,59 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
 
     from ..shuffle import grouped_map
     return grouped_map(partials, "query_id", merge_partition,
-                       num_partitions=16, group_fn=False)
+                       group_fn=False)
 
 
-def knn_graph(ds: "ray.data.Dataset", ref_ids: np.ndarray,
-              ref_vecs: np.ndarray, k: int = 3, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> "ray.data.Dataset":
+def knn_graph(ds: "ray.data.Dataset", ref_ids: np.ndarray | None = None,
+              ref_vecs: np.ndarray | None = None, k: int = 3,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              plan: str = "auto", centroids: np.ndarray | None = None,
+              n_probe: int = 4, n_clusters: int = 32,
+              max_broadcast_bytes: int = 256 << 20) -> "ray.data.Dataset":
     """All-pairs k-nearest-neighbor graph by cosine: for every row, its
     ``k`` nearest OTHER reference vectors — the standard training-data
     op behind near-dup clustering and diversity sampling.
 
-    Plan: the reference matrix is normalized once on the driver and
-    BROADCAST via ``ray.put`` (read worker-locally per task, never
-    re-shipped per batch); each streaming batch does one (b, n) matmul
-    and a vectorized per-row arg-partition.  No shuffle at all — each
-    row's neighbors are complete within its batch pass.
+    Two physical plans; ``plan="auto"`` picks by reference size
+    (round-4: the broadcast plan is now the documented SMALL-SIDE fast
+    path, not the default scale story — a corpus-vs-corpus kNN graph at
+    100 TB cannot broadcast the corpus):
 
-    Partitioning assumption (documented per SURVEY §2 custom-operator
-    rule): the reference side must fit in the object store once
-    (~10M x 64 float32 = 2.5 GB); beyond that, swap the broadcast for
-    the IVF-bucketed path (``topk_cosine_ivf``) per reference shard."""
+    - ``"broadcast"``: the reference matrix (``ref_ids``/``ref_vecs``)
+      is normalized once on the driver and shipped via ``ray.put``
+      (read worker-locally per task, never re-shipped per batch); each
+      streaming batch does one (b, n) matmul.  No shuffle.  Requires
+      the reference to fit in the object store —
+      ``max_broadcast_bytes`` guards the auto route.
+    - ``"bucketed"``: NO driver-side reference matrix — the IVF
+      co-partition plan of ``knn_graph_bucketed`` (exact within probed
+      buckets, recall < 1 by design like ``topk_cosine_ivf``).  Needs
+      ``centroids`` (fit with ``kmeans_fit``/``kmeans_lite``); with
+      ``ref_vecs`` given and no centroids, a codebook is fit from a
+      deterministic stride sample of the reference.
+
+    auto: broadcast iff ``ref_vecs`` is provided and under the byte
+    guard, else bucketed."""
     import ray
+
+    if plan == "auto":
+        plan = ("broadcast" if ref_vecs is not None
+                and np.asarray(ref_vecs).nbytes <= max_broadcast_bytes
+                else "bucketed")
+    if plan == "bucketed":
+        if centroids is None:
+            if ref_vecs is None:
+                raise ValueError(
+                    "bucketed knn_graph needs `centroids` (fit via "
+                    "kmeans_fit on a key-pushdown init) or `ref_vecs` "
+                    "to fit a codebook from")
+            m = np.asarray(ref_vecs, dtype=np.float64)
+            stride = max(1, len(m) // 4096)
+            centroids = kmeans_lite(m[::stride], n_clusters=n_clusters)
+        return knn_graph_bucketed(ds, centroids, k=k, n_probe=n_probe,
+                                  id_col=id_col, vec_col=vec_col)
+    if ref_ids is None or ref_vecs is None:
+        raise ValueError("broadcast knn_graph needs ref_ids and ref_vecs")
 
     rn = _normalize(np.asarray(ref_vecs, dtype=np.float64))
     ref = ray.put((np.asarray(ref_ids, dtype=np.int64), rn.T.copy()))
@@ -218,6 +250,126 @@ def knn_graph(ds: "ray.data.Dataset", ref_ids: np.ndarray,
                          "rank": pa.array(out_rank, pa.int64())})
 
     return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def knn_graph_bucketed(ds: "ray.data.Dataset", centroids: np.ndarray,
+                       k: int = 3, n_probe: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       refs: "ray.data.Dataset | None" = None
+                       ) -> "ray.data.Dataset":
+    """Scale-path all-pairs kNN graph: IVF co-partitioning instead of a
+    corpus broadcast.  Every row is emitted ONCE as a reference (to its
+    home bucket = nearest centroid, first-max tie = lowest cent_id) and
+    ``n_probe`` times as a query (to its probed buckets, cosine desc /
+    cent_id asc); one hash shuffle co-locates buckets; each partition
+    computes exact per-bucket (queries × refs) top-k partials; a second,
+    candidate-sized shuffle merges partials to the global top-k per
+    source (ties: cosine desc, nbr_id asc — same as the broadcast plan).
+
+    Each (query, ref) pair meets in AT MOST ONE partition (the ref's
+    home bucket), so no pair dedup is needed.  Only the (k × dim)
+    codebook is broadcast; vector bytes move through the shuffle once
+    per probe — the honest, corpus-size-linear cost that replaces the
+    object-store-fit assumption.  Recall < 1 by design (like
+    ``topk_cosine_ivf``); raise ``n_probe``/codebook quality to trade
+    cost for recall.  ``refs`` defaults to ``ds`` (self-graph)."""
+    import ray
+
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    dim = cn.shape[1]
+    cref = ray.put(cn.T.copy())
+
+    def _emit(batch: pa.Table, as_query: bool) -> pa.Table:
+        default_gc()
+        v = vec_matrix(batch, vec_col)
+        if not v.size:
+            return pa.table({
+                "bucket": pa.array([], pa.int64()),
+                "side": pa.array([], pa.int8()),
+                id_col: pa.array([], pa.int64()),
+                "vec": pa.array([], pa.list_(pa.float64()))})
+        vn = _normalize(v)
+        sims = vn @ ray.get(cref)                     # (b, C)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if as_query:
+            # stable argsort: cosine desc, cent_id asc on ties
+            probes = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+            reps = probes.shape[1]
+            bkt = probes.reshape(-1).astype(np.int64)
+            out_ids = np.repeat(ids, reps)
+            rows = np.repeat(np.arange(len(ids)), reps)
+            mat = vn[rows]
+            side = np.ones(len(out_ids), np.int8)
+        else:
+            bkt = np.argmax(sims, axis=1).astype(np.int64)
+            out_ids = ids
+            mat = vn
+            side = np.zeros(len(out_ids), np.int8)
+        offsets = pa.array(np.arange(0, (len(out_ids) + 1) * dim, dim,
+                                     dtype=np.int32))
+        vec = pa.ListArray.from_arrays(offsets,
+                                       pa.array(mat.ravel(), pa.float64()))
+        return pa.table({"bucket": pa.array(bkt),
+                         "side": pa.array(side, pa.int8()),
+                         id_col: pa.array(out_ids, pa.int64()),
+                         "vec": vec})
+
+    rside = (refs if refs is not None else ds).map_batches(
+        lambda b: _emit(b, as_query=False), batch_format="pyarrow")
+    qside = ds.map_batches(lambda b: _emit(b, as_query=True),
+                           batch_format="pyarrow")
+
+    cand_schema = pa.schema([("src_id", pa.int64()),
+                             ("nbr_id", pa.int64()),
+                             ("cosine", pa.float64())])
+
+    def per_bucket(df: pd.DataFrame) -> pa.Table:
+        src_l, nbr_l, cos_l = [], [], []
+        for _, g in df.groupby("bucket", sort=False):
+            q = g[g["side"] == 1]
+            r = g[g["side"] == 0]
+            if not len(q) or not len(r):
+                continue
+            qm = np.stack(q["vec"].to_numpy())
+            rm = np.stack(r["vec"].to_numpy())
+            qi = q[id_col].to_numpy(np.int64)
+            ri = r[id_col].to_numpy(np.int64)
+            sim = qm @ rm.T
+            kk = min(k, sim.shape[1])
+            for bi in range(sim.shape[0]):
+                row = np.where(ri == qi[bi], -np.inf, sim[bi])
+                cand = np.argpartition(-row, min(kk, len(row) - 1)
+                                       )[:kk + 1]
+                # argpartition is unordered — sort the candidate set
+                # (cosine desc, nbr asc) BEFORE dropping the self slot,
+                # else the true k-th best can be cut instead of the
+                # (k+1)-th
+                cand = cand[np.lexsort((ri[cand], -row[cand]))]
+                take = cand[np.isfinite(row[cand])][:kk]
+                src_l.extend([int(qi[bi])] * len(take))
+                nbr_l.extend(int(x) for x in ri[take])
+                cos_l.extend(float(x) for x in row[take])
+        return pa.table({"src_id": pa.array(src_l, pa.int64()),
+                         "nbr_id": pa.array(nbr_l, pa.int64()),
+                         "cosine": pa.array(cos_l, pa.float64())})
+
+    from ..shuffle import grouped_map
+    cands = grouped_map(rside.union(qside), "bucket", per_bucket,
+                        group_fn=False, out_schema=cand_schema)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src_id", "cosine", "nbr_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        g = df.groupby("src_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("src_id", sort=False).cumcount() + 1
+        return g
+
+    return grouped_map(cands, "src_id", merge, group_fn=False,
+                       out_schema=pa.schema([
+                           ("src_id", pa.int64()), ("nbr_id", pa.int64()),
+                           ("cosine", pa.float64()),
+                           ("rank", pa.int64())]))
 
 
 def kmeans_fit(ds: "ray.data.Dataset", init: np.ndarray, iters: int = 5,
@@ -296,8 +448,11 @@ def pca_fit(ds: "ray.data.Dataset", n_components: int = 4,
     by each batch's smallest id), the covariance forms from the merged
     moments, and the (dim x dim) eigendecomposition — trivially small —
     runs once on the driver.  Component sign is canonicalized (the
-    largest-|coordinate| entry made positive) so reruns and topologies
-    are bit-identical.  Returns (mean (dim,), components
+    largest-|coordinate| entry made positive) so SAME-LAYOUT reruns are
+    bit-identical; a different block layout can shift the float partial
+    sums in the last ulps (the emb_pca oracle compares against the
+    SNAPSHOTTED components, which keeps it layout-independent).
+    Returns (mean (dim,), components
     (n_components x dim) eigenvalue-descending, eigenvalues)."""
     def partial(batch: pa.Table) -> pa.Table:
         default_gc()

@@ -325,7 +325,10 @@ def unigram_familiarity(ds: "ray.data.Dataset", counts_ref,
     same broadcast-small-side pattern as ``tfidf_top_terms``, with the
     same documented vocabulary-fits-in-memory assumption (beyond that,
     a co-partitioned token join replaces the broadcast).  Docs with no
-    tokens are omitted (mirrors the SQL join semantics)."""
+    tokens are omitted (mirrors the SQL join semantics).  ``counts``
+    must cover the scored corpus; tokens absent from it count 0 (a
+    counts dict built from a filtered corpus degrades gracefully
+    instead of raising inside a Ray task)."""
     import ray
 
     def per_doc(batch: pa.Table) -> pa.Table:
@@ -338,7 +341,7 @@ def unigram_familiarity(ds: "ray.data.Dataset", counts_ref,
                 continue
             ids_out.append(rid)
             ntoks.append(len(toks))
-            sums.append(sum(cnt[tok] for tok in toks))
+            sums.append(sum(cnt.get(tok, 0) for tok in toks))
         return pa.table({id_col: pa.array(ids_out, batch[id_col].type),
                          "n_tok": pa.array(ntoks, pa.int64()),
                          "freq_sum": pa.array(sums, pa.int64())})

@@ -207,7 +207,7 @@ def reassemble_documents(span_results: "ray.data.Dataset"
                 ["match", "unmatched", "not_address"])))
     keep = span_results.map_batches(keep_fn, batch_format="pyarrow")
     return grouped_map(keep, "doc_id", reassemble_partition,
-                       num_partitions=32, group_fn=False)
+                       group_fn=False)
 
 
 _NAMESPACES = {

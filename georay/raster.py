@@ -108,7 +108,7 @@ def rasterize_polygons(bnds: "ray.data.Dataset", id_col: str = "bnd_idx",
 
 
 def vectorize_runs(raster: "ray.data.Dataset", threshold: int = 1,
-                   num_partitions: int = 8):
+                   num_partitions: int | None = None):
     """Raster -> vector: merge consecutive above-threshold cells within
     each row into (row, col_start, col_end, n_cells, sum_n) segments.
     Rows are co-partitioned (hash on row), so each segment is built

@@ -41,10 +41,34 @@ def _hash_mod_cols(cols: list, mod: int) -> np.ndarray:
     return (h % np.uint64(mod)).astype(np.int64)
 
 
+def adaptive_partitions(min_parts: int = 16, per_cpu: int = 3) -> int:
+    """Reduce-partition count scaled to the CLUSTER, not a constant:
+    ~``per_cpu`` reduce tasks per CPU (pipelining headroom without
+    per-task overhead dominating), floored at ``min_parts``.  A fixed
+    ``num_partitions=32`` is right at sf0.1 on one node but flatlines a
+    256-node cluster at 32 reduce tasks — every grouped_map call site
+    defaults to this helper and only overrides it when the count is
+    semantic.  Results are partitioning-invariant: grouped_map fns are
+    per-key-group functions (group_fn=True) or vectorized per-group
+    aggregations (group_fn=False), so the partition count changes task
+    granularity only, never values."""
+    cpus = 0
+    try:
+        import ray
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+    except Exception:
+        cpus = 0
+    if cpus <= 0:
+        import os
+        cpus = os.cpu_count() or 8
+    return max(min_parts, cpus * per_cpu)
+
+
 def grouped_map(ds: "ray.data.Dataset",
                 key: str | list[str],
                 fn: Callable[[pd.DataFrame], pd.DataFrame],
-                num_partitions: int = 64,
+                num_partitions: int | None = None,
                 group_fn: bool = True,
                 out_schema: pa.Schema | None = None,
                 schema_preserving: bool = False) -> "ray.data.Dataset":
@@ -62,7 +86,12 @@ def grouped_map(ds: "ray.data.Dataset",
     through verbatim — build it with explicit types), or set
     ``out_schema`` to cast every pandas result, or set
     ``schema_preserving=True`` when fn keeps the input columns/types.
+
+    ``num_partitions=None`` (default) resolves via
+    ``adaptive_partitions()`` — scaled to cluster CPUs.
     """
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
     keys = [key] if isinstance(key, str) else list(key)
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -108,7 +137,7 @@ def grouped_map(ds: "ray.data.Dataset",
 
 
 def distinct_on(ds: "ray.data.Dataset", keys: list[str],
-                num_partitions: int = 32) -> "ray.data.Dataset":
+                num_partitions: int | None = None) -> "ray.data.Dataset":
     """Distinct rows by key columns: per-batch local dedup (map-side
     combine), then partition-wise drop_duplicates — never a per-group
     shuffle, so millions of tiny groups cost one pass."""

@@ -208,7 +208,7 @@ def radius_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                 left_id_col: str = "place_id", right_id_col: str = "place_id",
                 lat_col: str = "lat", lon_col: str = "lon",
                 distinct_pairs: bool = False,
-                num_partitions: int = 64,
+                num_partitions: int | None = None,
                 chunk_rows: int = 4096) -> "ray.data.Dataset":
     """All (left, right) pairs within ``radius_km`` great-circle distance —
     the spatial range join the reference's reverse-geocode validation
@@ -236,7 +236,9 @@ def radius_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     grid_w = int(np.ceil(360.0 / pitch_deg)) + 4
 
     from .geom import haversine_km
-    from .shuffle import grouped_map
+    from .shuffle import adaptive_partitions, grouped_map
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     build = right.map_batches(
         _rj_tag(0, right_id_col, lat_col, lon_col, pitch_deg, grid_w,
@@ -307,7 +309,7 @@ def nearest_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
                  right_id_col: str = "place_id",
                  lat_col: str = "lat", lon_col: str = "lon",
                  exclude_self: bool = False,
-                 num_partitions: int = 64,
+                 num_partitions: int | None = None,
                  chunk_rows: int = 4096) -> "ray.data.Dataset":
     """Nearest right-side point within ``radius_km`` for every left point
     (the distributed reverse-geocode primitive; ties broken by smaller
@@ -325,7 +327,9 @@ def nearest_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     grid_w = int(np.ceil(360.0 / pitch_deg)) + 4
 
     from .geom import haversine_km
-    from .shuffle import grouped_map
+    from .shuffle import adaptive_partitions, grouped_map
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     build = right.map_batches(
         _rj_tag(0, right_id_col, lat_col, lon_col, pitch_deg, grid_w,
@@ -418,7 +422,7 @@ def idw_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
              radius_km: float, *, val_col: str,
              left_id_col: str = "cell_id", right_id_col: str = "place_id",
              lat_col: str = "lat", lon_col: str = "lon",
-             num_partitions: int = 64,
+             num_partitions: int | None = None,
              chunk_rows: int = 4096) -> "ray.data.Dataset":
     """Inverse-distance-weighted interpolation join: for every left
     (probe) point, the integer-exact IDW moments over right points
@@ -441,7 +445,9 @@ def idw_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
     grid_w = int(np.ceil(360.0 / pitch_deg)) + 4
 
     from .geom import haversine_km
-    from .shuffle import grouped_map
+    from .shuffle import adaptive_partitions, grouped_map
+    if num_partitions is None:
+        num_partitions = adaptive_partitions()
 
     build = right.map_batches(
         _rj_tag(0, right_id_col, lat_col, lon_col, pitch_deg, grid_w,
