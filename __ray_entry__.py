@@ -70,6 +70,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_batch_match_content": e.q_geo_batch_match_content,
         "geo_docs_match_content": e.q_geo_docs_match_content,
         "geo_knn_rescue_struct": e.q_geo_knn_rescue_struct,
+        # round-4 full-output oracles: reject labels + sim scores +
+        # distance_to_match + keep-best selection recomputed in SQL
+        "geo_reject_adjudication": e.q_geo_reject_adjudication,
+        "geo_docs_reject_adjudication": e.q_geo_docs_reject_adjudication,
+        "geo_reject_distance": e.q_geo_reject_distance,
+        "geo_docs_reject_distance": e.q_geo_docs_reject_distance,
+        "geo_match_selection": e.q_geo_match_selection,
         "geo_pip_validate": e.q_geo_pip_validate,
         "geo_raster_points": e.q_geo_raster_points,
         "geo_raster_polygons": e.q_geo_raster_polygons,

@@ -965,6 +965,168 @@ def q_geo_docs_match_content(sf_dir: str):
         project, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Round-4 full-output oracles for the two flagship pipelines: reject-row
+# adjudication (labels + the four c_sim_* scores + c_sim_street_which),
+# reject->match distance, and the keep-best match selection, all recomputed
+# in SQL from the RAW synth tables (comparesql.py renders the comparator
+# kernels; bit-parity pinned by tests/test_comparesql.py).  The snapshot
+# carries ROW SELECTION only (addr_key / method / osm_order / place_id);
+# candidate content is re-derived from gazetteer.parquet by place id and
+# input content from addresses.parquet (flat) or the restored parsed span
+# fields (documents pipeline, per the geo_knn_rescue precedent).
+#
+# SQL-expressible method subset: 'orig' (identity transform), 'nonum'
+# (house number blanked) and 'nostreet' (street+number blanked) — the
+# field-blanking steps of the cascade (config.py DEFAULT_CASCADE).  The
+# libpostal/photon/regex steps change the compare-time strings through
+# engine transformers and stay covered by pytest golden runs.
+
+_SQL_EXPR_METHODS = ("orig", "nonum", "nostreet")
+
+
+def _flat_geocode_full(sf_dir: str):
+    from .pipeline import geocode_addresses
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "addresses.parquet"),
+        columns=[ADDR_KEY, STREET, HOUSENBR, POSTCODE, CITY, COUNTRY])
+    return geocode_addresses(ds, spec=spec_for(sf_dir), with_tiles=False)
+
+
+def _filter_status_method(ds, status: str, methods=None):
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["status"], status)
+        if methods is not None:
+            m = pc.and_(m, pc.is_in(b["m_method"],
+                                    value_set=pa.array(list(methods))))
+        return b.filter(m)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_ADJ_COLS = ["addr_key", "m_method", "m_osm_order", "m_place_id",
+             "c_sim_street", "c_sim_street_which", "c_sim_house_number",
+             "c_sim_post_code", "c_sim_city", "m_reject_reason"]
+
+
+def q_geo_reject_adjudication(sf_dir: str):
+    """FULL reject-row oracle for the flat batch cascade at the
+    SQL-expressible methods: for every surviving reject row the engine
+    emits its four similarity scores, the street field-priority pick
+    (c_sim_street_which) and the mismatch-vs-tail label; DuckDB
+    recomputes ALL of them from the raw addresses x gazetteer tables
+    (snapshot = row selection only).  Closes VERDICT r3 item 1: the
+    elimination rule of check_result_utils.py:532-553 and the sim-score
+    columns are now value-verified, not rows-only."""
+    out = _flat_geocode_full(sf_dir)
+    rej = _filter_status_method(out, "reject", _SQL_EXPR_METHODS)
+    snap = _write_snapshot(rej.select_columns(_ADJ_COLS), sf_dir,
+                           "reject_adjudication_input")
+    return ray.data.read_parquet(snap, columns=_ADJ_COLS)
+
+
+def q_geo_reject_distance(sf_dir: str):
+    """distance_to_match oracle (ALL cascade methods): every reject row
+    of a matched address carries haversine-km (rounded 3) to its
+    address's match — recomputed by SQL from gazetteer coordinates by
+    place id (synthesized rank-30 buildings resolved via the parent
+    street row + the 5e-5*(hn-lo) offset rule).  Covers the
+    utils.py:1080-1093 semantics end-to-end on the pipeline output."""
+    out = _flat_geocode_full(sf_dir)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_rej = pc.and_(pc.equal(b["status"], "reject"),
+                         pc.is_valid(b["m_distance_to_match"]))
+        return b.filter(pc.or_(is_rej, pc.equal(b["status"], "match")))
+
+    sel = out.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["addr_key", "status", "m_method", "m_osm_order", "m_place_id",
+         "m_distance_to_match"])
+    snap = _write_snapshot(sel, sf_dir, "reject_distance_input")
+    ds = ray.data.read_parquet(snap)
+    return _filter_status_method(ds, "reject").select_columns(
+        ["addr_key", "m_method", "m_osm_order", "m_place_id",
+         "m_distance_to_match"])
+
+
+def q_geo_match_selection(sf_dir: str):
+    """keep-best SELECTION oracle at method 'orig': for every address
+    matched at the first cascade step (excluding the two engine-internal
+    rescue paths whose compare strings aren't raw-table-derivable:
+    cleansed-house-number retries and parent alt-name rescues), SQL
+    recomputes the similarity of EVERY surviving candidate row of that
+    address, applies the elimination rule, ranks by (sim_street desc,
+    sim_house_number desc, osm_order asc) and must arrive at the same
+    winning place id (check_result_utils.py:543-548 head(max_res))."""
+    out = _flat_geocode_full(sf_dir)
+
+    def pick_matches(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.and_(pc.equal(b["status"], "match"),
+                    pc.equal(b["m_method"], "orig"))
+        m = pc.and_(m, pc.invert(b["m_match_on_cleansed_house_number"]))
+        m = pc.and_(m, pc.not_equal(b["c_sim_street_which"], "n_alt_name"))
+        return b.filter(m)
+
+    matches = out.map_batches(pick_matches, batch_format="pyarrow") \
+        .select_columns(["addr_key", "m_place_id"])
+    msnap = _write_snapshot(matches, sf_dir, "match_selection_matches")
+    keys = set(pq.read_table(msnap)["addr_key"].to_pylist())
+
+    def pick_cands(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.and_(pc.equal(b["m_method"], "orig"),
+                    pc.is_in(b["addr_key"],
+                             value_set=pa.array(sorted(keys))))
+        return b.filter(m)
+
+    cands = out.map_batches(pick_cands, batch_format="pyarrow") \
+        .select_columns(["addr_key", "m_osm_order", "m_place_id"])
+    _write_snapshot(cands, sf_dir, "match_selection_cands")
+    return ray.data.read_parquet(msnap)
+
+
+def q_geo_docs_reject_adjudication(sf_dir: str):
+    """Reject adjudication over the DOCUMENTS pipeline (span-level): the
+    snapshot additionally echoes the compare-time input strings (the
+    parsed span fields restored onto the output rows — the
+    geo_knn_rescue row-selection precedent); scores and labels are
+    recomputed by SQL from those strings x raw-gazetteer candidate
+    content."""
+    out = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
+    rej = _filter_status_method(out, "reject", _SQL_EXPR_METHODS)
+    snap = _write_snapshot(
+        rej.select_columns(_ADJ_COLS + [STREET, HOUSENBR, POSTCODE, CITY]),
+        sf_dir, "docs_reject_adjudication_input")
+    return ray.data.read_parquet(snap, columns=_ADJ_COLS)
+
+
+def q_geo_docs_reject_distance(sf_dir: str):
+    """distance_to_match oracle over the documents pipeline (all
+    methods), same gazetteer-coordinate recompute as
+    geo_reject_distance."""
+    out = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
+
+    def keep(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        is_rej = pc.and_(pc.equal(b["status"], "reject"),
+                         pc.is_valid(b["m_distance_to_match"]))
+        return b.filter(pc.or_(is_rej, pc.equal(b["status"], "match")))
+
+    sel = out.map_batches(keep, batch_format="pyarrow").select_columns(
+        ["addr_key", "status", "m_method", "m_osm_order", "m_place_id",
+         "m_distance_to_match"])
+    snap = _write_snapshot(sel, sf_dir, "docs_reject_distance_input")
+    ds = ray.data.read_parquet(snap)
+    return _filter_status_method(ds, "reject").select_columns(
+        ["addr_key", "m_method", "m_osm_order", "m_place_id",
+         "m_distance_to_match"])
+
+
 def q_emb_topk_ivf_recall(sf_dir: str):
     """Recall oracle for the IVF ANN path: per query, how many of the
     IVF top-5 appear in the EXACT top-5.  The engine intersects its IVF
@@ -2451,6 +2613,119 @@ def _hex_sql(gaz: str, res: int = 9) -> str:
         from e"""
 
 
+def _adjudication_sql(snap_glob: str, gaz: str, input_cte: str) -> str:
+    """Render the full reject-adjudication recompute: candidate content
+    from the raw gazetteer by place id, input content per ``input_cte``
+    (a CTE body producing in_street/in_hn/in_pc/in_city per snapshot
+    row), comparator kernels from comparesql.py, elimination rule +
+    label.  Single statement."""
+    from . import comparesql as cs
+    s1 = cs.sql_street_sim("cand_street", "in_street")
+    s2 = cs.sql_street_sim("''", "in_street")
+    s3 = cs.sql_street_sim("cand_named", "in_street")
+    sim, which = cs.sql_street_priority("s1", "s2", "s3")
+    return f"""
+        with snap as (select * from read_parquet('{snap_glob}')),
+        cand as (
+            select s.*, {cs.sql_candidate_fields(gaz)}
+            from snap s
+            left join {gaz} g on g.place_id = s.m_place_id
+            left join {gaz} g2 on g2.place_id = s.m_place_id // 1000),
+        inp as ({input_cte}),
+        scored as (
+            select addr_key, m_method, m_osm_order, m_place_id,
+                   {s1} as s1, {s2} as s2, {s3} as s3,
+                   {cs.sql_hn_sim("cand_hn", "in_hn")}
+                       as c_sim_house_number,
+                   {cs.sql_pc_sim("cand_pc", "in_pc")} as c_sim_post_code,
+                   {cs.sql_city_sim("cand_city", "in_city")} as c_sim_city
+            from inp),
+        final as (
+            select addr_key, m_method,
+                   cast(m_osm_order as bigint) as m_osm_order,
+                   cast(m_place_id as bigint) as m_place_id,
+                   {sim} as c_sim_street, {which} as c_sim_street_which,
+                   c_sim_house_number, c_sim_post_code, c_sim_city
+            from scored)
+        select *, case when {cs.sql_elimination(
+            "c_sim_street", "c_sim_post_code", "c_sim_city")}
+                       then 'mismatch' else 'tail' end as m_reject_reason
+        from final"""
+
+
+def _distance_sql(snap_glob: str, gaz: str) -> str:
+    """Render the reject->match distance recompute from raw gazetteer
+    coordinates (building rule included); matches join by addr_key."""
+    from . import comparesql as cs
+    hav = cs.sql_haversine_km("rc.cand_lat", "rc.cand_lon",
+                              "mc.cand_lat", "mc.cand_lon")
+    coords = """
+            select s.*, {fields}
+            from {src} s
+            left join {gaz} g on g.place_id = s.m_place_id
+            left join {gaz} g2 on g2.place_id = s.m_place_id // 1000"""
+    fields = cs.sql_candidate_fields(gaz)
+    return f"""
+        with snap as (select * from read_parquet('{snap_glob}')),
+        r as (select addr_key, m_method, m_osm_order, m_place_id
+              from snap where status = 'reject'),
+        m as (select addr_key, m_place_id from snap
+              where status = 'match'),
+        rc as ({coords.format(fields=fields, src="r", gaz=gaz)}),
+        mc as ({coords.format(fields=fields, src="m", gaz=gaz)})
+        select rc.addr_key, rc.m_method,
+               cast(rc.m_osm_order as bigint) as m_osm_order,
+               cast(rc.m_place_id as bigint) as m_place_id,
+               round({hav}, 3) as m_distance_to_match
+        from rc join mc using (addr_key)
+        where mc.cand_lat is not null"""
+
+
+def _match_selection_sql(cand_glob: str, gaz: str, addrs: str) -> str:
+    """Render the keep-best winner recompute at method 'orig': score every
+    snapshotted candidate row, drop eliminated ones, take the top row per
+    address by (sim_street desc, sim_hn desc, osm_order asc)."""
+    from . import comparesql as cs
+    s1 = cs.sql_street_sim("cand_street", "in_street")
+    s2 = cs.sql_street_sim("''", "in_street")
+    s3 = cs.sql_street_sim("cand_named", "in_street")
+    sim, _ = cs.sql_street_priority("s1", "s2", "s3")
+    return f"""
+        with snap as (select * from read_parquet('{cand_glob}')),
+        cand as (
+            select s.*, {cs.sql_candidate_fields(gaz)}
+            from snap s
+            left join {gaz} g on g.place_id = s.m_place_id
+            left join {gaz} g2 on g2.place_id = s.m_place_id // 1000),
+        inp as (
+            select c.*, coalesce(a.street_name,'') as in_street,
+                   coalesce(a.house_number,'') as in_hn,
+                   coalesce(a.post_code,'') as in_pc,
+                   coalesce(a.post_name,'') as in_city
+            from cand c join {addrs} a using (addr_key)),
+        scored as (
+            select addr_key, m_osm_order, m_place_id,
+                   {s1} as s1, {s2} as s2, {s3} as s3,
+                   {cs.sql_hn_sim("cand_hn", "in_hn")} as hsim,
+                   {cs.sql_pc_sim("cand_pc", "in_pc")} as psim,
+                   {cs.sql_city_sim("cand_city", "in_city")} as csim
+            from inp),
+        final as (
+            select addr_key, m_osm_order, m_place_id, {sim} as ssim,
+                   hsim, psim, csim
+            from scored),
+        valid as (select * from final
+                  where not {cs.sql_elimination("ssim", "psim", "csim")}),
+        win as (select addr_key, m_place_id,
+                       row_number() over (
+                           partition by addr_key
+                           order by ssim desc, hsim desc, m_osm_order asc
+                       ) as rn
+                from valid)
+        select addr_key, cast(m_place_id as bigint) as m_place_id
+        from win where rn = 1"""
+
+
 def build_oracle_sql() -> dict[str, str]:
     s01 = os.path.join(SYNTH_ROOT, "sf0.01")
     docs = f"read_parquet('{s01}/documents.parquet')"
@@ -2568,6 +2843,33 @@ def build_oracle_sql() -> dict[str, str]:
                    g.pid as street_pid
             from snap s join g on s.k = g.k
                                and s.post_code = g.post_code""",
+        "geo_reject_adjudication": _adjudication_sql(
+            f"{s01}/reject_adjudication_input/*.parquet", gaz, f"""
+            select c.*,
+                   case when c.m_method = 'nostreet' then ''
+                        else coalesce(a.street_name,'') end as in_street,
+                   case when c.m_method in ('nonum','nostreet') then ''
+                        else coalesce(a.house_number,'') end as in_hn,
+                   coalesce(a.post_code,'') as in_pc,
+                   coalesce(a.post_name,'') as in_city
+            from cand c join {addrs} a using (addr_key)"""),
+        "geo_docs_reject_adjudication": _adjudication_sql(
+            f"{s01}/docs_reject_adjudication_input/*.parquet", gaz, """
+            select c.* exclude (street_name, house_number, post_code,
+                                post_name),
+                   case when c.m_method = 'nostreet' then ''
+                        else coalesce(c.street_name,'') end as in_street,
+                   case when c.m_method in ('nonum','nostreet') then ''
+                        else coalesce(c.house_number,'') end as in_hn,
+                   coalesce(c.post_code,'') as in_pc,
+                   coalesce(c.post_name,'') as in_city
+            from cand c"""),
+        "geo_reject_distance": _distance_sql(
+            f"{s01}/reject_distance_input/*.parquet", gaz),
+        "geo_docs_reject_distance": _distance_sql(
+            f"{s01}/docs_reject_distance_input/*.parquet", gaz),
+        "geo_match_selection": _match_selection_sql(
+            f"{s01}/match_selection_cands/*.parquet", gaz, addrs),
         "emb_topk_ivf_recall": f"""
             with q as (select vec_id qid, embedding qe from embeddings
                        where vec_id < 5),
