@@ -23,14 +23,46 @@ from typing import Callable
 import ray.data
 
 
+def _fs_for(out_dir: str):
+    """Resolve ``out_dir`` to (filesystem, root_path, is_uri): plain paths
+    stay on the POSIX fast path (atomic-rename commits); ``scheme://``
+    URIs go through ``pyarrow.fs.FileSystem.from_uri`` (file://, s3://,
+    gcs://, or any fsspec-registered scheme) and use the marker-file
+    commit protocol — object stores have no atomic rename."""
+    if "://" not in out_dir:
+        return None, out_dir, False
+    from pyarrow import fs as pafs
+    fs, root = pafs.FileSystem.from_uri(out_dir)
+    return fs, root, True
+
+
 class Manifest:
-    """Append-only JSONL lineage store for one run directory."""
+    """Append-only lineage store for one run directory.
+
+    Local paths: one ``manifest.jsonl`` (appended per partition).  URI
+    out_dirs: appends don't exist on object stores, so each lineage
+    record is ONE immutable object ``_manifest/<partition_id>.json`` —
+    a single PUT is the commit (read-after-write visible on every major
+    store), and ``records()`` lists the directory."""
 
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
+        self.fs, self.root, self.is_uri = _fs_for(out_dir)
+        self._done: dict[str, dict] = {}
+        if self.is_uri:
+            from pyarrow import fs as pafs
+            self._mandir = f"{self.root}/_manifest"
+            self.fs.create_dir(self._mandir, recursive=True)
+            sel = pafs.FileSelector(self._mandir, allow_not_found=True)
+            for info in self.fs.get_file_info(sel):
+                if not info.base_name.endswith(".json"):
+                    continue
+                with self.fs.open_input_stream(info.path) as f:
+                    rec = json.loads(f.read().decode())
+                self._done[rec["partition_id"]] = rec
+            return
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "manifest.jsonl")
-        self._done: dict[str, dict] = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
                 for line in f:
@@ -44,8 +76,14 @@ class Manifest:
 
     def record(self, partition_id: str, **fields) -> None:
         rec = {"partition_id": partition_id, "ts": time.time(), **fields}
-        with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        if self.is_uri:
+            payload = json.dumps(rec).encode()
+            with self.fs.open_output_stream(
+                    f"{self._mandir}/{partition_id}.json") as f:
+                f.write(payload)
+        else:
+            with open(self.path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
         self._done[partition_id] = rec
 
     def records(self) -> list[dict]:
@@ -78,35 +116,46 @@ def run_resumable(shards: list[tuple[str, Callable[[], "ray.data.Dataset"]]],
     defaults to ``Dataset.write_parquet``; pass ``tables.write_table``
     to route output through the Lance-or-Parquet table adapter.
 
-    ``out_dir`` must be a LOCAL-filesystem path (or a mounted one): the
-    crash-idempotent commit uses an atomic directory rename, which object
-    stores don't provide.  For s3://-style outputs, point ``out_dir`` at
-    local/NFS staging and sync committed partitions, or swap the
-    tmp-dir+rename for a pyarrow.fs-based marker-file protocol.
+    Commit protocol by ``out_dir`` kind:
+
+    - LOCAL path: write to ``part=<id>.tmp`` and atomically rename into
+      place before recording the manifest — a shard killed mid-write
+      leaves only a .tmp dir a resume deletes.
+    - ``scheme://`` URI (s3://, gcs://, file://, ...): object stores
+      have no atomic rename, so the commit is a MARKER FILE
+      (``part=<id>/_COMMITTED`` listing the data files, written AFTER
+      all data objects) + the single-PUT manifest record object.  On
+      resume: no marker -> the partition's leftovers are deleted and it
+      re-runs; marker but no manifest record (crash between the two) ->
+      the committed data is adopted without rewriting; reads always go
+      through the marker's explicit file list, so uncommitted stragglers
+      are never double-counted.
     """
     import shutil
-    if "://" in out_dir and not out_dir.startswith("file://"):
-        raise ValueError(
-            f"run_resumable requires a local-filesystem out_dir, got "
-            f"{out_dir!r} (atomic rename is the commit primitive)")
+    fs, root, is_uri = _fs_for(out_dir)
     manifest = Manifest(out_dir)
     for partition_id, build in shards:
         if manifest.is_done(partition_id):
             continue
         t0 = time.time()
-        part_dir = os.path.join(out_dir, f"part={partition_id}")
-        # crash idempotency: a shard killed mid-write must not leave
-        # partial files that a resume would double-count — write to a
-        # .tmp dir and rename into place before recording the manifest
-        part_tmp = part_dir + ".tmp"
-        for stale in (part_tmp, part_dir):
-            if os.path.exists(stale):
-                shutil.rmtree(stale)
-        ds = build()
-        (write_fn or ray.data.Dataset.write_parquet)(ds, part_tmp)
-        os.rename(part_tmp, part_dir)
-        out = ray.data.read_parquet(part_dir)
-        rows = out.count()
+        if is_uri:
+            out, rows = _commit_uri_partition(
+                fs, out_dir, root, partition_id, build, write_fn)
+            part_dir = f"{out_dir.rstrip('/')}/part={partition_id}"
+        else:
+            part_dir = os.path.join(out_dir, f"part={partition_id}")
+            # crash idempotency: a shard killed mid-write must not leave
+            # partial files that a resume would double-count — write to a
+            # .tmp dir and rename into place before recording the manifest
+            part_tmp = part_dir + ".tmp"
+            for stale in (part_tmp, part_dir):
+                if os.path.exists(stale):
+                    shutil.rmtree(stale)
+            ds = build()
+            (write_fn or ray.data.Dataset.write_parquet)(ds, part_tmp)
+            os.rename(part_tmp, part_dir)
+            out = ray.data.read_parquet(part_dir)
+            rows = out.count()
         counters = counters_fn(out) if counters_fn else {}
         extra: dict = {}
         stats_build = (step_stats_builders or {}).get(partition_id)
@@ -121,6 +170,49 @@ def run_resumable(shards: list[tuple[str, Callable[[], "ray.data.Dataset"]]],
                         seconds=round(time.time() - t0, 3),
                         path=part_dir, counters=counters, **extra)
     return manifest
+
+
+_MARKER = "_COMMITTED"
+
+
+def _committed_files(fs, part_path: str) -> list[str] | None:
+    """Return the marker's data-file basenames, or None if uncommitted."""
+    from pyarrow import fs as pafs
+    info = fs.get_file_info(f"{part_path}/{_MARKER}")
+    if info.type == pafs.FileType.NotFound:
+        return None
+    with fs.open_input_stream(info.path) as f:
+        return json.loads(f.read().decode())["files"]
+
+
+def _commit_uri_partition(fs, out_uri: str, root: str, partition_id: str,
+                          build, write_fn):
+    """Marker-file commit of one partition on a pyarrow filesystem; returns
+    (committed Dataset, row count)."""
+    from pyarrow import fs as pafs
+    part_path = f"{root}/part={partition_id}"
+    part_uri = f"{out_uri.rstrip('/')}/part={partition_id}"
+    files = _committed_files(fs, part_path)
+    if files is None:
+        # uncommitted leftovers from a crashed attempt: delete, rewrite
+        if fs.get_file_info(part_path).type != pafs.FileType.NotFound:
+            fs.delete_dir(part_path)
+        ds = build()
+        if write_fn is not None:
+            write_fn(ds, part_uri)
+        else:
+            ds.write_parquet(part_path, filesystem=fs)
+        sel = pafs.FileSelector(part_path)
+        files = sorted(i.base_name for i in fs.get_file_info(sel)
+                       if i.base_name != _MARKER)
+        with fs.open_output_stream(f"{part_path}/{_MARKER}") as f:
+            f.write(json.dumps({"files": files,
+                                "ts": time.time()}).encode())
+    # read ONLY the marker-listed files: stragglers from aborted attempts
+    # (visible on list-after-delete-lagging stores) are never counted
+    out = ray.data.read_parquet([f"{part_path}/{name}" for name in files],
+                                filesystem=fs)
+    return out, out.count()
 
 
 def _rollup(ds: "ray.data.Dataset", col: str) -> dict:

@@ -158,6 +158,87 @@ def test_run_resumable_crash_idempotent(ray_session, tmp_path):
     assert out.count() == 10
 
 
+def test_run_resumable_uri_marker_protocol(ray_session, tmp_path):
+    """file:// out_dir exercises the pyarrow.fs marker-file commit path
+    (the object-store protocol: no rename — _COMMITTED marker + one
+    manifest object per partition)."""
+    import os
+
+    import pandas as pd
+
+    import ray.data
+    from georay.checkpoint import Manifest, run_resumable, status_counters
+
+    out_dir = "file://" + str(tmp_path / "urirun")
+    local = str(tmp_path / "urirun")
+    df = pd.DataFrame({"status": ["match"] * 8, "x": range(8)})
+    calls = []
+
+    def build():
+        calls.append(1)
+        return ray.data.from_pandas(df).repartition(2)
+
+    man = run_resumable([("p0", build)], out_dir,
+                        counters_fn=status_counters)
+    assert man.records()[0]["rows"] == 8
+    assert man.records()[0]["counters"] == {"match": 8}
+    assert os.path.exists(os.path.join(local, "part=p0", "_COMMITTED"))
+    assert os.path.exists(os.path.join(local, "_manifest", "p0.json"))
+    # resume: builder not re-invoked, manifest re-read from objects
+    n = len(calls)
+    man2 = run_resumable([("p0", build)], out_dir)
+    assert len(calls) == n
+    assert Manifest(out_dir).is_done("p0")
+
+
+def test_run_resumable_uri_crash_cases(ray_session, tmp_path):
+    """URI commit crash matrix: (a) data without marker is deleted and
+    rewritten; (b) marker without manifest record is adopted without
+    rebuilding; (c) straggler files not in the marker list are never
+    counted."""
+    import json
+    import os
+
+    import pandas as pd
+
+    import ray.data
+    from georay.checkpoint import run_resumable
+
+    local = str(tmp_path / "crash")
+    out_dir = "file://" + local
+    df = pd.DataFrame({"status": ["match"] * 6, "x": range(6)})
+
+    # (a) crashed attempt: parquet files exist, no _COMMITTED marker
+    part = os.path.join(local, "part=p0")
+    ray.data.from_pandas(df.head(3)).write_parquet(part)
+    built = []
+
+    def build():
+        built.append(1)
+        return ray.data.from_pandas(df).repartition(2)
+
+    man = run_resumable([("p0", build)], out_dir)
+    assert built and man.records()[0]["rows"] == 6
+
+    # (c) straggler object appears next to committed files: reads go
+    # through the marker's file list, so the count stays 6
+    ray.data.from_pandas(df.head(2)).write_parquet(part)
+    marker = json.loads(open(os.path.join(part, "_COMMITTED")).read())
+    man_c = run_resumable([("p1", build)], out_dir)  # unrelated shard
+    got = ray.data.read_parquet(
+        [os.path.join(part, f) for f in marker["files"]])
+    assert got.count() == 6
+
+    # (b) marker written but manifest record lost: adopt, don't rebuild
+    os.remove(os.path.join(local, "_manifest", "p0.json"))
+    n = len(built)
+    man_b = run_resumable([("p0", build)], out_dir)
+    assert len(built) == n  # not rebuilt
+    assert man_b.records() and any(
+        r["partition_id"] == "p0" and r["rows"] == 6
+        for r in man_b.records())
+
+
 def test_sessionize_gap_boundary(ray_session, tmp_path):
     """30-min rule is strict (> 1800 s): exactly 1800 stays in-session."""
     import pandas as pd
