@@ -217,37 +217,62 @@ def knn_graph(ds: "ray.data.Dataset", ref_ids: np.ndarray | None = None,
         raise ValueError("broadcast knn_graph needs ref_ids and ref_vecs")
 
     rn = _normalize(np.asarray(ref_vecs, dtype=np.float64))
-    ref = ray.put((np.asarray(ref_ids, dtype=np.int64), rn.T.copy()))
+    # self-exclusion lookup rides in the broadcast object: column index
+    # of each id in the reference (ids assumed unique; absent ids mask
+    # nothing) — shipping it in the closure would re-serialize 8 B/ref
+    # into every task
+    ref = ray.put((np.asarray(ref_ids, dtype=np.int64), rn.T.copy(),
+                   np.argsort(ref_ids, kind="mergesort")))
 
     def partial(batch: pa.Table) -> pa.Table:
         default_gc()
-        ids_r, rnT = ray.get(ref)
+        ids_r, rnT, _r_order = ray.get(ref)
+        n_ref = rnT.shape[1]
         v = vec_matrix(batch, vec_col)
-        out_src, out_nbr, out_cos, out_rank = [], [], [], []
+        srcs, nbrs, coss, ranks = [], [], [], []
         if v.size:
-            ids = batch[id_col].to_numpy(zero_copy_only=False)
-            sim = _normalize(v) @ rnT                     # (b, n_ref)
-            # exclude self-matches by id, not by position (the batch is
-            # a subset of the reference in arbitrary order)
-            for bi in range(sim.shape[0]):
-                row = sim[bi]
-                self_mask = ids_r == ids[bi]
-                row = np.where(self_mask, -np.inf, row)
-                kk = min(k, len(row) - int(self_mask.sum()))
+            ids = batch[id_col].to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+            vn = _normalize(v)
+            # chunk rows so the (rows, n_ref) similarity matrix stays
+            # ~32 MB — at 1M refs a full 1024-row batch would be 8 GB,
+            # and N workers each holding fat temporaries multiply
+            rows_per = max(1, (4 << 20) // max(1, n_ref))
+            for lo in range(0, len(ids), rows_per):
+                hi = min(lo + rows_per, len(ids))
+                sim = vn[lo:hi] @ rnT                    # (c, n_ref)
+                cid = ids[lo:hi]
+                # self-exclusion by id (vectorized searchsorted lookup)
+                pos = np.searchsorted(ids_r[_r_order], cid)
+                pos = np.clip(pos, 0, n_ref - 1)
+                col = _r_order[pos]
+                hit = ids_r[col] == cid
+                sim[np.flatnonzero(hit), col[hit]] = -np.inf
+                kk = min(k, n_ref - 1)
                 if kk <= 0:
                     continue
-                part = np.argpartition(-row, kk - 1)[:kk]
-                # deterministic order: cosine desc, neighbor id asc
-                order = np.lexsort((ids_r[part], -row[part]))
-                for rank, ci in enumerate(part[order], start=1):
-                    out_src.append(int(ids[bi]))
-                    out_nbr.append(int(ids_r[ci]))
-                    out_cos.append(float(row[ci]))
-                    out_rank.append(rank)
-        return pa.table({"src_id": pa.array(out_src, pa.int64()),
-                         "nbr_id": pa.array(out_nbr, pa.int64()),
-                         "cosine": pa.array(out_cos, pa.float64()),
-                         "rank": pa.array(out_rank, pa.int64())})
+                part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+                pcos = np.take_along_axis(sim, part, axis=1)
+                pids = ids_r[part]
+                c = hi - lo
+                rix = np.repeat(np.arange(c), kk)
+                # (row, cosine desc, nbr id asc) — lexsort last-key-major
+                order = np.lexsort((pids.ravel(), -pcos.ravel(), rix))
+                keep = pcos.ravel()[order] > -np.inf
+                srcs.append(np.repeat(cid, kk)[keep])
+                nbrs.append(pids.ravel()[order][keep])
+                coss.append(pcos.ravel()[order][keep])
+                rk = np.tile(np.arange(1, kk + 1), c)
+                ranks.append(rk[keep])
+
+        def cat(parts, dt):
+            return (np.concatenate(parts).astype(dt) if parts
+                    else np.zeros(0, dt))
+
+        return pa.table({"src_id": pa.array(cat(srcs, np.int64)),
+                         "nbr_id": pa.array(cat(nbrs, np.int64)),
+                         "cosine": pa.array(cat(coss, np.float64)),
+                         "rank": pa.array(cat(ranks, np.int64))})
 
     return ds.map_batches(partial, batch_format="pyarrow")
 
@@ -334,24 +359,43 @@ def knn_graph_bucketed(ds: "ray.data.Dataset", centroids: np.ndarray,
             rm = np.stack(r["vec"].to_numpy())
             qi = q[id_col].to_numpy(np.int64)
             ri = r[id_col].to_numpy(np.int64)
-            sim = qm @ rm.T
-            kk = min(k, sim.shape[1])
-            for bi in range(sim.shape[0]):
-                row = np.where(ri == qi[bi], -np.inf, sim[bi])
-                cand = np.argpartition(-row, min(kk, len(row) - 1)
-                                       )[:kk + 1]
-                # argpartition is unordered — sort the candidate set
-                # (cosine desc, nbr asc) BEFORE dropping the self slot,
-                # else the true k-th best can be cut instead of the
-                # (k+1)-th
-                cand = cand[np.lexsort((ri[cand], -row[cand]))]
-                take = cand[np.isfinite(row[cand])][:kk]
-                src_l.extend([int(qi[bi])] * len(take))
-                nbr_l.extend(int(x) for x in ri[take])
-                cos_l.extend(float(x) for x in row[take])
-        return pa.table({"src_id": pa.array(src_l, pa.int64()),
-                         "nbr_id": pa.array(nbr_l, pa.int64()),
-                         "cosine": pa.array(cos_l, pa.float64())})
+            nr = len(ri)
+            kk = min(k, nr)
+            # one extra slot so dropping the self match never cuts the
+            # true k-th best; fully vectorized per-bucket top-k (the
+            # per-query-row loop was the stage's dominant cost)
+            kk2 = min(kk + 1, nr)
+            rows_per = max(1, (4 << 20) // nr)
+            for lo in range(0, len(qi), rows_per):
+                hi = min(lo + rows_per, len(qi))
+                sim = qm[lo:hi] @ rm.T                     # (c, nr)
+                sim[qi[lo:hi, None] == ri[None, :]] = -np.inf
+                c = hi - lo
+                part = np.argpartition(-sim, kk2 - 1, axis=1)[:, :kk2]
+                pcos = np.take_along_axis(sim, part, axis=1)
+                pids = ri[part]
+                rix = np.repeat(np.arange(c), kk2)
+                # (row, cosine desc, nbr id asc), then drop self slots
+                # and keep the first kk per row
+                order = np.lexsort((pids.ravel(), -pcos.ravel(), rix))
+                cos_s = pcos.ravel()[order]
+                ids_s = pids.ravel()[order]
+                finite = np.isfinite(cos_s)
+                rows_f = rix[finite]
+                cum = (np.arange(len(rows_f))
+                       - np.searchsorted(rows_f, np.arange(c))[rows_f])
+                keep = cum < kk
+                src_l.append(np.repeat(qi[lo:hi], kk2)[finite][keep])
+                nbr_l.append(ids_s[finite][keep])
+                cos_l.append(cos_s[finite][keep])
+
+        def cat(parts, dt):
+            return (np.concatenate(parts).astype(dt) if parts
+                    else np.zeros(0, dt))
+
+        return pa.table({"src_id": pa.array(cat(src_l, np.int64)),
+                         "nbr_id": pa.array(cat(nbr_l, np.int64)),
+                         "cosine": pa.array(cat(cos_l, np.float64))})
 
     from ..shuffle import grouped_map
     cands = grouped_map(rside.union(qside), "bucket", per_bucket,

@@ -15,8 +15,11 @@ and seconds).  RESUME is the default behavior: re-run the same command
 after a crash — or with a different ``--num-cpus`` — and completed
 partitions are skipped, only the remainder runs.  That is also the
 cluster story: the same manifest protocol works when partitions are
-farmed out to different nodes, because the commit primitive is an
-atomic directory rename per partition.
+farmed out to different nodes — local output dirs commit via an atomic
+directory rename per partition, and ``scheme://`` output dirs (s3://,
+gcs://, file://, any pyarrow.fs URI) commit via the marker-file
+protocol (``_COMMITTED`` object + one immutable manifest object per
+partition; see checkpoint.py).
 
 Demo (two parallelism levels sharing one run directory):
 
