@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_method_stats": e.q_geo_method_stats,
         "geo_hex_assign": e.q_geo_hex_assign,
         "geo_hex_rollup": e.q_geo_hex_rollup,
+        "geo_hex_kring_density": e.q_geo_hex_kring_density,
         "geo_hex_rollup_pipeline": e.q_geo_hex_rollup_pipeline,
         "geo_knn_rescue": e.q_geo_knn_rescue,
         # round-3 content/structural oracles for the non-SQL pipelines
@@ -130,6 +131,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn_graph_ivf": e.q_emb_knn_graph_ivf,
         "emb_knn_graph_ivf_recall": e.q_emb_knn_graph_ivf_recall,
         "emb_kmeans": e.q_emb_kmeans,
+        # round-4: product quantization (64x compression + ADC search)
+        "emb_pq_encode": e.q_emb_pq_encode,
+        "emb_pq_topk": e.q_emb_pq_topk,
         "emb_pca": e.q_emb_pca,
         "emb_topk_ivf": e.q_emb_topk_ivf,
         "emb_topk_ivf_recall": e.q_emb_topk_ivf_recall,

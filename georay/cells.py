@@ -157,3 +157,35 @@ def square_cell(lat, lon, pitch_deg: float = SQUARE_CELL_DEG) -> np.ndarray:
     y = np.floor((lat + 90.0) / pitch_deg).astype(np.int64)
     x = np.floor((lon + 180.0) / pitch_deg).astype(np.int64)
     return y * np.int64(w) + x
+
+
+def hex_kring_offsets(k: int = 1) -> np.ndarray:
+    """(m, 2) axial (dq, dr) offsets of the k-ring disc: hex distance
+    (|dq|+|dr|+|dq+dr|)/2 <= k — 3k²+3k+1 cells (7 at k=1).  Row order
+    is (dq, dr) lexicographic, deterministic."""
+    rng = np.arange(-k, k + 1, dtype=np.int64)
+    dq, dr = np.meshgrid(rng, rng, indexing="ij")
+    dq = dq.ravel()
+    dr = dr.ravel()
+    dist = (np.abs(dq) + np.abs(dr) + np.abs(dq + dr)) // 2
+    m = dist <= k
+    return np.stack([dq[m], dr[m]], axis=1)
+
+
+def hex_kring(cell: np.ndarray, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Explode each cell id to its k-ring disc (including itself).
+    Returns ``(centers, neighbors)`` — input cell repeated per disc
+    member, and the member ids — pure int64 axial arithmetic (same
+    zigzag packing as ``hex_cell``), so the SQL oracle can replicate
+    membership exactly."""
+    cell = np.asarray(cell, dtype=np.int64)
+    res = cell >> np.int64(56)
+    iq = _unzigzag((cell >> np.int64(28)) & np.int64((1 << 28) - 1))
+    ir = _unzigzag(cell & np.int64((1 << 28) - 1))
+    offs = hex_kring_offsets(k)
+    m = len(offs)
+    nq = iq[:, None] + offs[None, :, 0]
+    nr = ir[:, None] + offs[None, :, 1]
+    nbr = ((np.repeat(res, m).reshape(-1, m) << np.int64(56))
+           | (_zigzag(nq) << np.int64(28)) | _zigzag(nr))
+    return np.repeat(cell, m), nbr.ravel()

@@ -753,6 +753,51 @@ def q_geo_hex_rollup_pipeline(sf_dir: str):
     return rollup_counts_salted(snap, "hex_cell")
 
 
+def q_geo_hex_kring_density(sf_dir: str):
+    """Hex k-ring neighborhood density (round 4): per occupied hex cell,
+    the point count summed over its 1-ring disc (7 cells incl. itself)
+    — the smoothing/aggregation primitive behind heatmaps and hotspot
+    detection.  Plan: per-cell rollup (map-side combine + one small
+    groupby), then each occupied cell EMITS its count to its 7 ring
+    members (ring symmetry: c contributes to x iff x's disc contains c)
+    plus a self marker; ONE co-partitioned shuffle on the cell id and a
+    vectorized per-partition sum — no broadcast of the (data-sized)
+    occupied-cell set.  Ring membership is pure int64 axial arithmetic
+    (cells.hex_kring), replicated exactly by the SQL oracle."""
+    from .cells import hex_kring
+    from .shuffle import grouped_map
+    from .tiles import rollup_counts
+    counts = rollup_counts(q_geo_hex_assign(sf_dir), "hex_cell")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        cells = batch["hex_cell"].to_numpy(zero_copy_only=False
+                                           ).astype(np.int64)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ctr, nbr = hex_kring(cells, 1)
+        contrib = np.repeat(n, 7)
+        key = np.concatenate([nbr, cells])
+        tag = np.concatenate([np.zeros(len(nbr), np.int8),
+                              np.ones(len(cells), np.int8)])
+        val = np.concatenate([contrib, n])
+        return pa.table({"key": pa.array(key),
+                         "tag": pa.array(tag, pa.int8()),
+                         "val": pa.array(val)})
+
+    rows = counts.map_batches(explode, batch_format="pyarrow")
+    schema = pa.schema([("hex_cell", pa.int64()), ("n_ring", pa.int64())])
+
+    def per_part(df: pd.DataFrame) -> pa.Table:
+        occupied = set(df.loc[df["tag"] == 1, "key"].tolist())
+        c = df[df["tag"] == 0].groupby("key")["val"].sum()
+        c = c[c.index.isin(occupied)]
+        return pa.table({
+            "hex_cell": pa.array(c.index.to_numpy(np.int64), pa.int64()),
+            "n_ring": pa.array(c.to_numpy(np.int64), pa.int64())})
+
+    return grouped_map(rows, "key", per_part, group_fn=False,
+                       out_schema=schema)
+
+
 def q_geo_span_conservation(sf_dir: str):
     """Pipeline invariant with a hard oracle: every input span appears in
     the geocode output exactly once (match/reject rows collapse via
@@ -2342,6 +2387,95 @@ def q_emb_topk_ivf(sf_dir: str):
                                 preserve_index=False)
 
 
+def _pq_books(sf_dir: str) -> "np.ndarray":
+    """Deterministic PQ codebooks: fit on the vec_id<512 sample
+    (pushdown-pruned), m=8 subspaces, 16 codes."""
+    import pyarrow.dataset as pads
+
+    from .ops.similarity import pq_fit
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pads.dataset(path).to_table(columns=["vec_id", "embedding"],
+                                    filter=pads.field("vec_id") < 512)
+    df = t.to_pandas().sort_values("vec_id")
+    sample = np.array(df["embedding"].tolist(), dtype=np.float64)
+    return pq_fit(sample, m=8, n_codes=16)
+
+
+def _pq_snapshot_books(sf_dir: str, books: "np.ndarray") -> None:
+    m, n_codes, dsub = books.shape
+    rows_s, rows_c, rows_v = [], [], []
+    for j in range(m):
+        for c in range(n_codes):
+            rows_s.append(j)
+            rows_c.append(c)
+            rows_v.append(books[j, c].tolist())
+    t = pa.table({"subspace": pa.array(rows_s, pa.int64()),
+                  "code": pa.array(rows_c, pa.int64()),
+                  "vals": pa.array(rows_v, pa.list_(pa.float64()))})
+    _write_snapshot(t, sf_dir, "pq_codebooks")
+
+
+def q_emb_pq_encode(sf_dir: str):
+    """Product-quantization encode oracle (round 4, scale path: 64x
+    embedding compression for ADC search at corpus scale): every
+    vector's per-subspace code must equal the SQL argmin of the DIRECT
+    squared subspace distance to the snapshotted codebook (first-min
+    tie -> lowest code id).  Engine: ops/similarity.pq_encode (one
+    codebook broadcast, streaming encode)."""
+    from .ops.similarity import pq_encode
+    books = _pq_books(sf_dir)
+    _pq_snapshot_books(sf_dir, books)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                               columns=["vec_id", "embedding"])
+    enc = pq_encode(ds, books)
+    m = books.shape[0]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        flat = batch["codes"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False
+                                       ).astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, m), pa.int64()),
+            "subspace": pa.array(np.tile(np.arange(m, dtype=np.int64), n),
+                                 pa.int64()),
+            "code": pa.array(flat, pa.int64())})
+
+    return enc.map_batches(explode, batch_format="pyarrow")
+
+
+def q_emb_pq_topk(sf_dir: str):
+    """ADC top-k oracle: asymmetric-distance search over the PQ codes —
+    SQL recomputes the codes (same argmin CTE), builds each query's
+    subspace LUT from the raw embeddings x snapshotted codebook, sums
+    the m lookups IN SUBSPACE ORDER (list(dist ORDER BY subspace) ->
+    list_sum, matching the engine's fixed-order accumulation) and must
+    reproduce rank AND the nano-floored distance."""
+    import pyarrow.compute as pc
+
+    from .ops.similarity import pq_encode, pq_topk
+    books = _pq_books(sf_dir)
+    _pq_snapshot_books(sf_dir, books)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    qdf = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    enc = pq_encode(ds, books)
+    out = pq_topk(enc, books, queries, qdf["vec_id"].to_numpy(), k=5)
+
+    def final(batch: pa.Table) -> pa.Table:
+        nano = pc.cast(pc.floor(pc.multiply(batch["adc_dist"],
+                                            pa.scalar(1e9))), pa.int64())
+        return pa.table({"query_id": batch["query_id"],
+                         "vec_id": batch["vec_id"],
+                         "rnk": batch["rank"],
+                         "adc_nano": nano})
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 def q_emb_kmeans(sf_dir: str):
     """Distributed spherical k-means (round 3): full-data Lloyd's with
     broadcast centroids and map-side partial sums (no shuffle; driver
@@ -2757,6 +2891,27 @@ def build_oracle_sql() -> dict[str, str]:
             from read_parquet('{s01}/method_stats_input/*.parquet')
             group by 1""",
         "geo_hex_assign": _hex_sql(gaz),
+        "geo_hex_kring_density": f"""
+            -- per occupied cell: counts summed over the 1-ring disc
+            -- (hex distance (|dq|+|dr|+|dq+dr|)/2 <= 1, incl. self);
+            -- cell ids unpacked via the zigzag inverse
+            with pts as ({_hex_sql(gaz)}),
+            cnt as (select hex_cell, count(*) n from pts group by 1),
+            ax as (select hex_cell, n,
+                     ((hex_cell >> 28) & ((1 << 28) - 1)) zq,
+                     (hex_cell & ((1 << 28) - 1)) zr
+                   from cnt),
+            axd as (select hex_cell, n,
+                      case when zq % 2 = 0 then zq // 2
+                           else -((zq + 1) // 2) end q,
+                      case when zr % 2 = 0 then zr // 2
+                           else -((zr + 1) // 2) end r
+                    from ax)
+            select a.hex_cell, cast(sum(b.n) as bigint) as n_ring
+            from axd a join axd b
+              on (abs(a.q - b.q) + abs(a.r - b.r)
+                  + abs((a.q - b.q) + (a.r - b.r))) // 2 <= 1
+            group by 1""",
         "geo_hex_rollup": f"""
             with h as ({_hex_sql(gaz)})
             select hex_cell, count(*) as n from h group by 1""",
@@ -3784,6 +3939,68 @@ def build_oracle_sql() -> dict[str, str]:
                            e.vec_id asc) rnk
                   from q, embeddings e)
             select qid as query_id, vec_id, rnk from d where rnk <= 5""",
+        "emb_pq_encode": f"""
+            -- PQ code assignment recomputed from the snapshotted
+            -- codebooks: per (vector, subspace), argmin of the DIRECT
+            -- squared distance ((a-b)*(a-b) summed in element order —
+            -- no square-expansion, which would change last-ulp values),
+            -- first-min tie -> lowest code id
+            with cb as (select subspace, code, vals from read_parquet(
+                            '{s01}/pq_codebooks/*.parquet')),
+            d as (select e.vec_id, cb.subspace, cb.code,
+                    list_sum(list_transform(range(1, 9), i ->
+                      (e.embedding[cast(cb.subspace*8 as bigint) + i]
+                       - cb.vals[i]) *
+                      (e.embedding[cast(cb.subspace*8 as bigint) + i]
+                       - cb.vals[i]))) as dist
+                  from embeddings e, cb)
+            select vec_id, subspace, code from (
+                select vec_id, subspace, code,
+                       row_number() over (partition by vec_id, subspace
+                                          order by dist asc, code asc) rn
+                from d)
+            where rn = 1""",
+        "emb_pq_topk": f"""
+            -- ADC top-k recompute: codes via the same argmin CTE, each
+            -- query's (subspace, code) LUT from the raw embeddings x
+            -- snapshotted codebook, total distance = the m lookups
+            -- summed IN SUBSPACE ORDER (list(... order by subspace) ->
+            -- list_sum = the engine's fixed-order accumulation)
+            with cb as (select subspace, code, vals from read_parquet(
+                            '{s01}/pq_codebooks/*.parquet')),
+            d as (select e.vec_id, cb.subspace, cb.code,
+                    list_sum(list_transform(range(1, 9), i ->
+                      (e.embedding[cast(cb.subspace*8 as bigint) + i]
+                       - cb.vals[i]) *
+                      (e.embedding[cast(cb.subspace*8 as bigint) + i]
+                       - cb.vals[i]))) as dist
+                  from embeddings e, cb),
+            codes as (select vec_id, subspace, code from (
+                select vec_id, subspace, code,
+                       row_number() over (partition by vec_id, subspace
+                                          order by dist asc, code asc) rn
+                from d) where rn = 1),
+            q as (select vec_id qid, embedding qe from embeddings
+                  where vec_id < 5),
+            lut as (select q.qid, cb.subspace, cb.code,
+                      list_sum(list_transform(range(1, 9), i ->
+                        (q.qe[cast(cb.subspace*8 as bigint) + i]
+                         - cb.vals[i]) *
+                        (q.qe[cast(cb.subspace*8 as bigint) + i]
+                         - cb.vals[i]))) as dist
+                    from q, cb),
+            vd as (select l.qid, c.vec_id,
+                     list_sum(list(l.dist order by l.subspace)) as dist
+                   from codes c
+                   join lut l using (subspace, code)
+                   group by 1, 2),
+            r as (select qid as query_id, vec_id,
+                    row_number() over (partition by qid
+                                       order by dist asc, vec_id asc) rnk,
+                    dist from vd)
+            select query_id, vec_id, cast(rnk as bigint) as rnk,
+                   cast(floor(1e9*dist) as bigint) as adc_nano
+            from r where rnk <= 5""",
         "emb_kmeans": f"""
             -- nearest-centroid assignment given the snapshotted final
             -- k-means codebook (ties: cosine desc, cent_id asc)

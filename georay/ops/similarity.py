@@ -589,3 +589,161 @@ def kmeans_assign(ds: "ray.data.Dataset", centroids: np.ndarray,
             "cluster": pa.array(a.astype(np.int64), pa.int64())})
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# -- product quantization (PQ): the memory-compression scale path ----------
+#
+# At 100 TB the raw float embeddings cannot sit in worker memory for
+# re-ranking; PQ compresses dim x float64 to m uint8 codes (64x at
+# dim=64, m=8) and searches with asymmetric distance (ADC): per query,
+# one (m x n_codes) lookup table of exact subspace distances, then each
+# encoded vector costs m table lookups + m-1 adds.  Published
+# construction (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011) — implemented from the paper, no
+# reference-code lineage.
+#
+# Determinism contract (what the SQL oracles pin): subspace assignment
+# = argmin of the DIRECT squared distance ((x - c)^2 summed in element
+# order, first-min tie -> lowest code id); ADC distance = the m subspace
+# LUT values added in subspace order.  No (a-b)^2 = a^2+b^2-2ab
+# expansion anywhere — it changes last-ulp values and would break
+# bit-parity with the SQL recompute.
+
+
+def _lloyd_euclid(x: np.ndarray, k: int, iters: int = 10,
+                  seed: int = 5) -> np.ndarray:
+    """Deterministic plain (non-spherical) Lloyd on a driver-side sample
+    — PQ codebooks quantize raw subvectors, so no normalization."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(x, dtype=np.float64)
+    idx = rng.choice(len(x), size=min(k, len(x)), replace=False)
+    cent = x[np.sort(idx)].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(axis=0)
+    return cent
+
+
+def pq_fit(sample: np.ndarray, m: int = 8, n_codes: int = 16,
+           iters: int = 10, seed: int = 5) -> np.ndarray:
+    """(m, n_codes, dim//m) PQ codebooks from a deterministic driver-side
+    sample: independent Lloyd per subspace.  The sample is small (the
+    codebook is what ships to workers); encoding streams."""
+    x = np.asarray(sample, dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    return np.stack([
+        _lloyd_euclid(x[:, j * dsub:(j + 1) * dsub], n_codes, iters, seed)
+        for j in range(m)])
+
+
+def _subspace_codes(v: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) int64 code assignment, direct squared distance, first-min
+    tie -> lowest code id (numpy argmin)."""
+    n = v.shape[0]
+    m, n_codes, dsub = books.shape
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        sub = v[:, j * dsub:(j + 1) * dsub]
+        d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d, axis=1)
+    return codes
+
+
+def pq_encode(ds: "ray.data.Dataset", books: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> "ray.data.Dataset":
+    """(id, codes list<int64>[m]) per row — one broadcast of the (m,
+    n_codes, dsub) codebook via ``ray.put``, streaming encode."""
+    import ray
+
+    b = np.asarray(books, dtype=np.float64)
+    ref = ray.put(b)
+    m = b.shape[0]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        default_gc()
+        v = vec_matrix(batch, vec_col)
+        if not v.size:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.int64()))})
+        codes = _subspace_codes(v, ray.get(ref))
+        offs = pa.array(np.arange(0, (len(codes) + 1) * m,
+                                  m, dtype=np.int32))
+        arr = pa.ListArray.from_arrays(offs, pa.array(codes.ravel(),
+                                                      pa.int64()))
+        return pa.table({id_col: batch[id_col], "codes": arr})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk(encoded: "ray.data.Dataset", books: np.ndarray,
+            queries: np.ndarray, query_ids: np.ndarray, k: int = 5,
+            id_col: str = "vec_id") -> "ray.data.Dataset":
+    """ADC top-k over PQ-encoded vectors: per query one exact (m x
+    n_codes) subspace-distance LUT (computed once on the driver,
+    broadcast), each encoded row costs m lookups + m-1 adds IN SUBSPACE
+    ORDER (bit-reproducible).  Map-side partial top-k, then the same
+    per-query grouped merge as the brute path.  Ties: (dist asc, id
+    asc)."""
+    import ray
+
+    b = np.asarray(books, dtype=np.float64)
+    q = np.asarray(queries, dtype=np.float64)
+    m, n_codes, dsub = b.shape
+    nq = len(q)
+    lut = np.empty((nq, m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qs = q[:, j * dsub:(j + 1) * dsub]
+        lut[:, j, :] = ((qs[:, None, :] - b[j][None, :, :]) ** 2
+                        ).sum(axis=2)
+    qi = np.asarray(query_ids, dtype=np.int64)
+    ref = ray.put(lut)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        default_gc()
+        qid_l, vid_l, d_l = [], [], []
+        n = batch.num_rows
+        if n:
+            lt = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+            flat = batch["codes"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64).reshape(n, m)
+            for qx in range(nq):
+                # fixed-order accumulation: subspace 0..m-1
+                dist = lt[qx, 0, flat[:, 0]].copy()
+                for j in range(1, m):
+                    dist += lt[qx, j, flat[:, j]]
+                kk = min(k, n)
+                part = np.argpartition(dist, kk - 1)[:kk]
+                qid_l.append(np.full(kk, qi[qx], np.int64))
+                vid_l.append(ids[part])
+                d_l.append(dist[part])
+        cat = (lambda p, dt: np.concatenate(p).astype(dt) if p
+               else np.zeros(0, dt))
+        return pa.table({"query_id": pa.array(cat(qid_l, np.int64)),
+                         id_col: pa.array(cat(vid_l, np.int64)),
+                         "adc_dist": pa.array(cat(d_l, np.float64))})
+
+    partials = encoded.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "adc_dist", id_col],
+                            kind="mergesort")
+        g = df.groupby("query_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+        return g
+
+    from ..shuffle import grouped_map
+    return grouped_map(partials, "query_id", merge, group_fn=False,
+                       out_schema=pa.schema([
+                           ("query_id", pa.int64()), (id_col, pa.int64()),
+                           ("adc_dist", pa.float64()),
+                           ("rank", pa.int64())]))
