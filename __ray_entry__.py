@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hex_assign": e.q_geo_hex_assign,
         "geo_hex_rollup": e.q_geo_hex_rollup,
         "geo_hex_kring_density": e.q_geo_hex_kring_density,
+        "geo_path_simplify": e.q_geo_path_simplify,
         "geo_hex_rollup_pipeline": e.q_geo_hex_rollup_pipeline,
         "geo_knn_rescue": e.q_geo_knn_rescue,
         # round-3 content/structural oracles for the non-SQL pipelines

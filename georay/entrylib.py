@@ -798,6 +798,47 @@ def q_geo_hex_kring_density(sf_dir: str):
                        out_schema=schema)
 
 
+def q_geo_path_simplify(sf_dir: str):
+    """Per-postcode Douglas-Peucker trajectory simplification (round 4):
+    the rank-26 street tour of geo_path_length, simplified at eps=0.01°
+    — emits the KEPT (post_code, place_id) set.  One co-partitioned
+    shuffle on the postcode; DP runs vectorized per group inside the
+    partition task.  FULL-VALUE oracle: the SQL side replays the whole
+    DP recursion with a recursive CTE (same deviation formula, same
+    strict > eps split, same first-max tie-break), so a single wrong
+    keep/drop anywhere in the recursion hash-mismatches."""
+    from .geom import dp_simplify
+    from .shuffle import grouped_map
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["post_code", "place_id", "lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow").drop_columns(["place_rank"])
+    schema = pa.schema([("post_code", pa.string()),
+                        ("place_id", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        pcs: list[str] = []
+        pids: list[np.ndarray] = []
+        df = df.sort_values(["post_code", "place_id"], kind="mergesort")
+        for pc_key, g in df.groupby("post_code", sort=False):
+            keep = dp_simplify(g["lat"].to_numpy(np.float64),
+                               g["lon"].to_numpy(np.float64), 0.01)
+            kept = g["place_id"].to_numpy(np.int64)[keep]
+            pcs.extend([pc_key] * len(kept))
+            pids.append(kept)
+        return pa.table({
+            "post_code": pa.array(pcs, pa.string()),
+            "place_id": pa.array(
+                np.concatenate(pids) if pids else np.zeros(0, np.int64),
+                pa.int64())})
+
+    return grouped_map(streets, "post_code", per_partition,
+                       group_fn=False, out_schema=schema)
+
+
 def q_geo_span_conservation(sf_dir: str):
     """Pipeline invariant with a hard oracle: every input span appears in
     the geocode output exactly once (match/reject rows collapse via
@@ -2891,6 +2932,53 @@ def build_oracle_sql() -> dict[str, str]:
             from read_parquet('{s01}/method_stats_input/*.parquet')
             group by 1""",
         "geo_hex_assign": _hex_sql(gaz),
+        "geo_path_simplify": f"""
+            -- full Douglas-Peucker replay: segments split recursively
+            -- at the first-max-deviation interior point while the max
+            -- deviation is STRICTLY > eps (0.01 deg); kept set = all
+            -- segment endpoints ever emitted.  Deviation formula is the
+            -- engine's, op-for-op.
+            with recursive pts as (
+                select post_code pc, place_id ord, lon x, lat y
+                from {gaz} where place_rank = 26),
+            base as (select pc, min(ord) a, max(ord) b
+                     from pts group by pc),
+            segs(pc, a, b) as (
+                select pc, a, b from base
+                union all
+                select v.pc, u.e[1], u.e[2]
+                from (
+                    select * from (
+                        select s.pc, s.a, s.b, p.ord m,
+                               case when pa.x = pb.x and pa.y = pb.y
+                                    then sqrt((p.x-pa.x)*(p.x-pa.x)
+                                              + (p.y-pa.y)*(p.y-pa.y))
+                                    else abs((pb.x-pa.x)*(p.y-pa.y)
+                                             - (pb.y-pa.y)*(p.x-pa.x))
+                                         / sqrt((pb.x-pa.x)*(pb.x-pa.x)
+                                                + (pb.y-pa.y)*(pb.y-pa.y))
+                               end dev,
+                               row_number() over (
+                                   partition by s.pc, s.a, s.b
+                                   order by case when pa.x = pb.x
+                                                      and pa.y = pb.y
+                                    then sqrt((p.x-pa.x)*(p.x-pa.x)
+                                              + (p.y-pa.y)*(p.y-pa.y))
+                                    else abs((pb.x-pa.x)*(p.y-pa.y)
+                                             - (pb.y-pa.y)*(p.x-pa.x))
+                                         / sqrt((pb.x-pa.x)*(pb.x-pa.x)
+                                                + (pb.y-pa.y)*(pb.y-pa.y))
+                               end desc, p.ord asc) rn
+                        from segs s
+                        join pts p on p.pc = s.pc and p.ord > s.a
+                                   and p.ord < s.b
+                        join pts pa on pa.pc = s.pc and pa.ord = s.a
+                        join pts pb on pb.pc = s.pc and pb.ord = s.b)
+                    where rn = 1 and dev > 0.01) v,
+                unnest([[v.a, v.m], [v.m, v.b]]) u(e))
+            select pc as post_code, cast(ord as bigint) as place_id
+            from (select pc, a ord from segs
+                  union select pc, b from segs)""",
         "geo_hex_kring_density": f"""
             -- per occupied cell: counts summed over the 1-ring disc
             -- (hex distance (|dq|+|dr|+|dq+dr|)/2 <= 1, incl. self);

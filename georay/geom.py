@@ -130,3 +130,47 @@ class PolygonIndex:
                 und[hit] = False
                 undecided[mask] = und
         return out
+
+
+def dp_simplify(lat: np.ndarray, lon: np.ndarray, eps: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification (published algorithm),
+    iterative stack form, planar degree space (x=lon, y=lat — adequate
+    at sub-degree extents; the haversine ops own metric distances).
+
+    Determinism contract the SQL oracle replicates op-for-op: deviation
+    = |(bx-ax)(py-ay) - (by-ay)(px-ax)| / sqrt((bx-ax)^2 + (by-ay)^2)
+    (degenerate a==b segments fall back to euclidean distance to a),
+    split on STRICT dev > eps at the FIRST index attaining the max
+    (numpy argmax), endpoints always kept.  Returns a keep mask."""
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = len(lat)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        ax, ay = lon[a], lat[a]
+        bx, by = lon[b], lat[b]
+        px = lon[a + 1:b]
+        py = lat[a + 1:b]
+        dx = bx - ax
+        dy = by - ay
+        den = np.sqrt(dx * dx + dy * dy)
+        if den == 0.0:
+            dev = np.sqrt((px - ax) ** 2 + (py - ay) ** 2)
+        else:
+            dev = np.abs(dx * (py - ay) - dy * (px - ax)) / den
+        i = int(np.argmax(dev))
+        if dev[i] > eps:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep
