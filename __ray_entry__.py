@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4: product quantization (64x compression + ADC search)
         "emb_pq_encode": e.q_emb_pq_encode,
         "emb_pq_topk": e.q_emb_pq_topk,
+        "emb_pq_ivf_topk": e.q_emb_pq_ivf_topk,
         "emb_pca": e.q_emb_pca,
         "emb_topk_ivf": e.q_emb_topk_ivf,
         "emb_topk_ivf_recall": e.q_emb_topk_ivf_recall,

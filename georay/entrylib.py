@@ -2517,6 +2517,51 @@ def q_emb_pq_topk(sf_dir: str):
     return out.map_batches(final, batch_format="pyarrow")
 
 
+def q_emb_pq_ivf_topk(sf_dir: str):
+    """IVF-PQ (FAISS-IVFADC shape) content oracle: coarse k-means
+    buckets + PQ codes built in ONE streaming pass, ADC search
+    restricted to each query's 2 probed buckets.  SQL recomputes ALL of
+    it from the two snapshotted parameter tables (codebooks +
+    normalized centroids): code argmins, bucket assignment (cosine
+    desc / cent_id asc), probe selection, ordered LUT sums, final
+    (dist asc, vec_id asc) ranking."""
+    import pyarrow.compute as pc
+
+    from .ops.similarity import (_normalize, kmeans_fit, pq_encode_ivf,
+                                 pq_topk_ivf)
+    books = _pq_books(sf_dir)
+    _pq_snapshot_books(sf_dir, books)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    init = pq.read_table(path, columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 6)]
+                         ).to_pandas().sort_values("vec_id")
+    cents = kmeans_fit(ds, np.array(init["embedding"].tolist(),
+                                    dtype=np.float64), iters=4)
+    cn = _normalize(cents)
+    _write_snapshot(pa.table({
+        "cent_id": pa.array(range(len(cn)), pa.int64()),
+        "vec": pa.array([row.tolist() for row in cn],
+                        pa.list_(pa.float64()))}), sf_dir,
+        "pq_ivf_centroids")
+    qdf = pq.read_table(path, columns=["vec_id", "embedding"]).to_pandas()
+    qdf = qdf[qdf["vec_id"] < 5].sort_values("vec_id")
+    queries = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    enc = pq_encode_ivf(ds, books, cents)
+    out = pq_topk_ivf(enc, books, cents, queries,
+                      qdf["vec_id"].to_numpy(), k=5, n_probe=2)
+
+    def final(batch: pa.Table) -> pa.Table:
+        nano = pc.cast(pc.floor(pc.multiply(batch["adc_dist"],
+                                            pa.scalar(1e9))), pa.int64())
+        return pa.table({"query_id": batch["query_id"],
+                         "vec_id": batch["vec_id"],
+                         "rnk": batch["rank"],
+                         "adc_nano": nano})
+
+    return out.map_batches(final, batch_format="pyarrow")
+
+
 def q_emb_kmeans(sf_dir: str):
     """Distributed spherical k-means (round 3): full-data Lloyd's with
     broadcast centroids and map-side partial sums (no shuffle; driver
@@ -4081,6 +4126,63 @@ def build_oracle_sql() -> dict[str, str]:
                      list_sum(list(l.dist order by l.subspace)) as dist
                    from codes c
                    join lut l using (subspace, code)
+                   group by 1, 2),
+            r as (select qid as query_id, vec_id,
+                    row_number() over (partition by qid
+                                       order by dist asc, vec_id asc) rnk,
+                    dist from vd)
+            select query_id, vec_id, cast(rnk as bigint) as rnk,
+                   cast(floor(1e9*dist) as bigint) as adc_nano
+            from r where rnk <= 5""",
+        "emb_pq_ivf_topk": f"""
+            -- full IVF-PQ recompute from the two snapshotted parameter
+            -- tables: PQ code argmins, coarse bucket assignment
+            -- (cosine desc / cent_id asc), per-query 2-bucket probe
+            -- selection, ordered LUT sums, (dist asc, vec_id asc) rank
+            with cb as (select subspace, code, vals from read_parquet(
+                            '{s01}/pq_codebooks/*.parquet')),
+            cents as (select cent_id, vec from read_parquet(
+                          '{s01}/pq_ivf_centroids/*.parquet')),
+            d as (select e.vec_id, cb.subspace, cb.code,
+                    list_sum(list_transform(range(1, 9), i ->
+                      (e.embedding[cast(cb.subspace*8 as bigint) + i]
+                       - cb.vals[i]) *
+                      (e.embedding[cast(cb.subspace*8 as bigint) + i]
+                       - cb.vals[i]))) as dist
+                  from embeddings e, cb),
+            codes as (select vec_id, subspace, code from (
+                select vec_id, subspace, code,
+                       row_number() over (partition by vec_id, subspace
+                                          order by dist asc, code asc) rn
+                from d) where rn = 1),
+            bkt as (select vec_id, cent_id as bucket from (
+                select e.vec_id, c.cent_id,
+                       row_number() over (partition by e.vec_id order by
+                         list_cosine_similarity(c.vec, e.embedding) desc,
+                         c.cent_id) rn
+                from embeddings e, cents c) where rn = 1),
+            q as (select vec_id qid, embedding qe from embeddings
+                  where vec_id < 5),
+            probes as (select qid, cent_id from (
+                select q.qid, c.cent_id,
+                       row_number() over (partition by q.qid order by
+                         list_cosine_similarity(c.vec, q.qe) desc,
+                         c.cent_id) rn
+                from q, cents c) where rn <= 2),
+            lut as (select q.qid, cb.subspace, cb.code,
+                      list_sum(list_transform(range(1, 9), i ->
+                        (q.qe[cast(cb.subspace*8 as bigint) + i]
+                         - cb.vals[i]) *
+                        (q.qe[cast(cb.subspace*8 as bigint) + i]
+                         - cb.vals[i]))) as dist
+                    from q, cb),
+            vd as (select l.qid, c.vec_id,
+                     list_sum(list(l.dist order by l.subspace)) as dist
+                   from codes c
+                   join bkt b on b.vec_id = c.vec_id
+                   join lut l using (subspace, code)
+                   join probes p on p.qid = l.qid
+                                 and p.cent_id = b.bucket
                    group by 1, 2),
             r as (select qid as query_id, vec_id,
                     row_number() over (partition by qid

@@ -747,3 +747,114 @@ def pq_topk(encoded: "ray.data.Dataset", books: np.ndarray,
                            ("query_id", pa.int64()), (id_col, pa.int64()),
                            ("adc_dist", pa.float64()),
                            ("rank", pa.int64())]))
+
+
+def pq_encode_ivf(ds: "ray.data.Dataset", books: np.ndarray,
+                  centroids: np.ndarray, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> "ray.data.Dataset":
+    """IVF-PQ encode (the FAISS-IVFADC layout, from the published
+    construction): ONE streaming pass emits each row's coarse bucket
+    (nearest centroid by cosine, first-max tie -> lowest cent_id — the
+    ``kmeans_assign`` contract) AND its PQ codes.  At corpus scale this
+    pass is the index build: rows land hash-partitioned by bucket with
+    an 8-byte payload instead of dim floats."""
+    import ray
+
+    b = np.asarray(books, dtype=np.float64)
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put((b, cn.T.copy()))
+    m = b.shape[0]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        default_gc()
+        v = vec_matrix(batch, vec_col)
+        if not v.size:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.int64()))})
+        bb, cnT = ray.get(ref)
+        bkt = np.argmax(_normalize(v) @ cnT, axis=1).astype(np.int64)
+        codes = _subspace_codes(v, bb)
+        offs = pa.array(np.arange(0, (len(codes) + 1) * m,
+                                  m, dtype=np.int32))
+        arr = pa.ListArray.from_arrays(offs, pa.array(codes.ravel(),
+                                                      pa.int64()))
+        return pa.table({id_col: batch[id_col],
+                         "bucket": pa.array(bkt, pa.int64()),
+                         "codes": arr})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def pq_topk_ivf(encoded: "ray.data.Dataset", books: np.ndarray,
+                centroids: np.ndarray, queries: np.ndarray,
+                query_ids: np.ndarray, k: int = 5, n_probe: int = 2,
+                id_col: str = "vec_id") -> "ray.data.Dataset":
+    """ADC top-k restricted to each query's ``n_probe`` nearest coarse
+    buckets (probe order: cosine desc, cent_id asc on ties — stable
+    argsort).  Same LUT / fixed-subspace-order accumulation / tie-break
+    contract as ``pq_topk``; rows outside every probed bucket are never
+    scored, which is the IVF cost cut."""
+    import ray
+
+    b = np.asarray(books, dtype=np.float64)
+    q = np.asarray(queries, dtype=np.float64)
+    cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    m, n_codes, dsub = b.shape
+    nq = len(q)
+    probe = np.argsort(-(_normalize(q) @ cn.T), axis=1,
+                       kind="stable")[:, :n_probe]
+    lut = np.empty((nq, m, n_codes), dtype=np.float64)
+    for j in range(m):
+        qs = q[:, j * dsub:(j + 1) * dsub]
+        lut[:, j, :] = ((qs[:, None, :] - b[j][None, :, :]) ** 2
+                        ).sum(axis=2)
+    qi = np.asarray(query_ids, dtype=np.int64)
+    ref = ray.put((lut, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        default_gc()
+        qid_l, vid_l, d_l = [], [], []
+        n = batch.num_rows
+        if n:
+            lt, pr = ray.get(ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False
+                                         ).astype(np.int64)
+            bkt = batch["bucket"].to_numpy(zero_copy_only=False
+                                           ).astype(np.int64)
+            flat = batch["codes"].combine_chunks().flatten().to_numpy(
+                zero_copy_only=False).astype(np.int64).reshape(n, m)
+            for qx in range(nq):
+                mask = np.isin(bkt, pr[qx])
+                if not mask.any():
+                    continue
+                rows = np.flatnonzero(mask)
+                dist = lt[qx, 0, flat[rows, 0]].copy()
+                for j in range(1, m):
+                    dist += lt[qx, j, flat[rows, j]]
+                kk = min(k, len(rows))
+                part = np.argpartition(dist, kk - 1)[:kk]
+                qid_l.append(np.full(kk, qi[qx], np.int64))
+                vid_l.append(ids[rows[part]])
+                d_l.append(dist[part])
+        cat = (lambda p, dt: np.concatenate(p).astype(dt) if p
+               else np.zeros(0, dt))
+        return pa.table({"query_id": pa.array(cat(qid_l, np.int64)),
+                         id_col: pa.array(cat(vid_l, np.int64)),
+                         "adc_dist": pa.array(cat(d_l, np.float64))})
+
+    partials = encoded.map_batches(partial, batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["query_id", "adc_dist", id_col],
+                            kind="mergesort")
+        g = df.groupby("query_id", sort=False).head(k).copy()
+        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
+        return g
+
+    from ..shuffle import grouped_map
+    return grouped_map(partials, "query_id", merge, group_fn=False,
+                       out_schema=pa.schema([
+                           ("query_id", pa.int64()), (id_col, pa.int64()),
+                           ("adc_dist", pa.float64()),
+                           ("rank", pa.int64())]))
