@@ -92,9 +92,19 @@ def topk_cosine_brute(ds: "ray.data.Dataset", queries: np.ndarray,
         g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
         return g
 
-    from ..shuffle import grouped_map
+    from ..shuffle import adaptive_partitions, grouped_map
+    # the merge input is (queries x k x blocks) rows with only
+    # len(queries) distinct keys: more partitions than queries just pays
+    # empty-task overhead (round-4: the unbounded adaptive count tripled
+    # the stage's wall-time floor at 32 CPUs).  out_schema keeps the
+    # empty hash-collision partitions from emitting schema-less blocks.
     return grouped_map(partials, "query_id", merge_partition,
-                       group_fn=False)
+                       num_partitions=min(adaptive_partitions(), len(qn)),
+                       group_fn=False,
+                       out_schema=pa.schema([
+                           ("query_id", pa.int64()), (id_col, pa.int64()),
+                           ("cosine", pa.float64()),
+                           ("rank", pa.int64())]))
 
 
 def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 10,
@@ -160,9 +170,19 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
         g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
         return g
 
-    from ..shuffle import grouped_map
+    from ..shuffle import adaptive_partitions, grouped_map
+    # the merge input is (queries x k x blocks) rows with only
+    # len(queries) distinct keys: more partitions than queries just pays
+    # empty-task overhead (round-4: the unbounded adaptive count tripled
+    # the stage's wall-time floor at 32 CPUs).  out_schema keeps the
+    # empty hash-collision partitions from emitting schema-less blocks.
     return grouped_map(partials, "query_id", merge_partition,
-                       group_fn=False)
+                       num_partitions=min(adaptive_partitions(), len(qn)),
+                       group_fn=False,
+                       out_schema=pa.schema([
+                           ("query_id", pa.int64()), (id_col, pa.int64()),
+                           ("cosine", pa.float64()),
+                           ("rank", pa.int64())]))
 
 
 def knn_graph(ds: "ray.data.Dataset", ref_ids: np.ndarray | None = None,
@@ -741,8 +761,9 @@ def pq_topk(encoded: "ray.data.Dataset", books: np.ndarray,
         g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
         return g
 
-    from ..shuffle import grouped_map
+    from ..shuffle import adaptive_partitions, grouped_map
     return grouped_map(partials, "query_id", merge, group_fn=False,
+                       num_partitions=min(adaptive_partitions(), nq),
                        out_schema=pa.schema([
                            ("query_id", pa.int64()), (id_col, pa.int64()),
                            ("adc_dist", pa.float64()),
@@ -852,8 +873,9 @@ def pq_topk_ivf(encoded: "ray.data.Dataset", books: np.ndarray,
         g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
         return g
 
-    from ..shuffle import grouped_map
+    from ..shuffle import adaptive_partitions, grouped_map
     return grouped_map(partials, "query_id", merge, group_fn=False,
+                       num_partitions=min(adaptive_partitions(), nq),
                        out_schema=pa.schema([
                            ("query_id", pa.int64()), (id_col, pa.int64()),
                            ("adc_dist", pa.float64()),
