@@ -176,13 +176,23 @@ _MARKER = "_COMMITTED"
 
 
 def _committed_files(fs, part_path: str) -> list[str] | None:
-    """Return the marker's data-file basenames, or None if uncommitted."""
+    """Return the marker's data-file basenames, or None if uncommitted.
+
+    A truncated/unreadable marker counts as UNCOMMITTED: on filesystems
+    that materialize bytes incrementally (file://, NFS) a crash
+    mid-marker-write leaves partial JSON — treating that as committed
+    (or raising) would wedge every resume until manual cleanup; treating
+    it as uncommitted deletes the partition and re-runs it, which the
+    idempotent-shard contract already allows (round-4 advice)."""
     from pyarrow import fs as pafs
     info = fs.get_file_info(f"{part_path}/{_MARKER}")
     if info.type == pafs.FileType.NotFound:
         return None
-    with fs.open_input_stream(info.path) as f:
-        return json.loads(f.read().decode())["files"]
+    try:
+        with fs.open_input_stream(info.path) as f:
+            return json.loads(f.read().decode())["files"]
+    except (ValueError, KeyError, OSError):
+        return None
 
 
 def _commit_uri_partition(fs, out_uri: str, root: str, partition_id: str,
@@ -202,9 +212,27 @@ def _commit_uri_partition(fs, out_uri: str, root: str, partition_id: str,
             write_fn(ds, part_uri)
         else:
             ds.write_parquet(part_path, filesystem=fs)
+        # the marker lists the partition's PARQUET files and the reader
+        # below reads them back with read_parquet — a custom write_fn
+        # that produces a nested or non-parquet layout can't round-trip
+        # through this commit protocol, so fail loudly at commit time
+        # instead of writing a marker whose file list can't be read
+        # (round-4 advice); non-parquet adapters belong on LOCAL
+        # out_dirs where the rename protocol never lists files
         sel = pafs.FileSelector(part_path)
-        files = sorted(i.base_name for i in fs.get_file_info(sel)
+        infos = fs.get_file_info(sel)
+        if any(i.type == pafs.FileType.Directory for i in infos):
+            raise ValueError(
+                f"write_fn produced nested directories under {part_path}; "
+                "URI out_dirs require a flat parquet-file layout "
+                "(use a local out_dir for custom table adapters)")
+        files = sorted(i.base_name for i in infos
                        if i.base_name != _MARKER)
+        if not all(n.endswith(".parquet") for n in files):
+            raise ValueError(
+                f"write_fn produced non-parquet files under {part_path}: "
+                f"{[n for n in files if not n.endswith('.parquet')][:3]}; "
+                "URI out_dirs commit parquet layouts only")
         with fs.open_output_stream(f"{part_path}/{_MARKER}") as f:
             f.write(json.dumps({"files": files,
                                 "ts": time.time()}).encode())

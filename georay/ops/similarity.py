@@ -28,11 +28,32 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
-def vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    """(n, dim) float64 matrix from a list<float> column — zero-copy
-    flatten of the Arrow child buffer instead of to_pylist (which builds
-    n python lists and was the dominant cost of the ANN stages)."""
-    arr = batch[vec_col]
+_WORKER_BUFS: dict[str, np.ndarray] = {}
+
+
+def _buf(name: str, shape: tuple, dtype=np.float64) -> np.ndarray:
+    """Per-worker reusable scratch buffer (grown geometrically, never
+    shrunk).  The hot ANN partials' float64 temporaries were the stage's
+    dominant wall-time under this host's intermittent page-reclaim
+    stalls (round 5 measurement: the SAME 12 MB ``astype(float64)``
+    costs 1 ms or 100 ms seconds apart — allocation-bound, not
+    compute-bound); writing into already-faulted pages makes the stage
+    allocation-free after each worker's first batch.  ONLY safe for
+    temporaries whose lifetime ends inside one batch call — never return
+    a view of these to the caller."""
+    need = 1
+    for s in shape:
+        need *= int(s)
+    b = _WORKER_BUFS.get(name)
+    if b is None or b.size < need or b.dtype != np.dtype(dtype):
+        cap = max(need, 2 * (b.size if b is not None else 0))
+        _WORKER_BUFS[name] = b = np.empty(cap, dtype)
+    return b[:need].reshape(shape)
+
+
+def _vec_view(arr) -> np.ndarray | None:
+    """(n, dim) matrix view of a uniform list<float> array in its SOURCE
+    dtype — zero-copy from the Arrow child buffer; None when ragged."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -40,7 +61,7 @@ def vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
         return np.empty((0, 0), dtype=np.float64)
     if pa.types.is_fixed_size_list(arr.type):
         flat = arr.flatten().to_numpy(zero_copy_only=False)
-        return flat.astype(np.float64, copy=False).reshape(n, -1)
+        return flat.reshape(n, -1)
     if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
         # uniform-length check via the offsets buffer: total-divisible-
         # by-n is NOT enough (rows of length 2 and 4 would silently
@@ -50,61 +71,207 @@ def vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
         if (arr.null_count == 0 and len(widths)
                 and (widths == widths[0]).all() and widths[0] > 0):
             flat = arr.flatten().to_numpy(zero_copy_only=False)
-            return flat.astype(np.float64, copy=False).reshape(n, -1)
+            return flat.reshape(n, -1)
+    return None
+
+
+def vec_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column — zero-copy
+    flatten of the Arrow child buffer instead of to_pylist (which builds
+    n python lists and was the dominant cost of the ANN stages)."""
+    arr = batch[vec_col]
+    v = _vec_view(arr)
+    if v is not None:
+        return v.astype(np.float64, copy=False)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
     return np.array(arr.to_pylist(), dtype=np.float64)  # ragged fallback
+
+
+def _vec_matrix_buffered(batch: pa.Table, vec_col: str,
+                         buf_name: str) -> np.ndarray:
+    """float64 matrix materialized into a reused per-worker buffer (see
+    ``_buf``) — for batch-scoped temporaries only."""
+    v = _vec_view(batch[vec_col])
+    if v is None:
+        return vec_matrix(batch, vec_col)
+    if v.dtype == np.float64:
+        return v
+    out = _buf(buf_name, v.shape)
+    np.copyto(out, v)
+    return out
+
+
+# -- shared top-k merge -----------------------------------------------------
+
+_SMALL_MERGE_ROWS = 4096
+
+
+def _keep_best_rows(t: pa.Table, key_col: str, id_col: str, val_col: str,
+                    k: int, ascending: bool, with_rank: bool) -> pa.Table:
+    """Vectorized per-key best-k selection over one Arrow batch under
+    the (val, id) lexicographic tie contract — associative (applying it
+    to any concatenation of its own outputs gives the global answer)."""
+    fields = [(key_col, pa.int64()), (id_col, pa.int64()),
+              (val_col, pa.float64())]
+    if with_rank:
+        fields.append(("rank", pa.int64()))
+    if t.num_rows == 0:
+        return pa.table({n: pa.array([], typ) for n, typ in fields})
+    key = t[key_col].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    val = t[val_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, val if ascending else -val, key))
+    ks = key[order]
+    starts = np.r_[True, ks[1:] != ks[:-1]]
+    first = np.flatnonzero(starts)
+    grp = np.cumsum(starts) - 1
+    pos = np.arange(len(ks)) - first[grp]
+    keep = pos < k
+    sel = order[keep]
+    cols = {key_col: pa.array(key[sel].astype(np.int64), pa.int64()),
+            id_col: pa.array(ids[sel].astype(np.int64), pa.int64()),
+            val_col: pa.array(val[sel].astype(np.float64), pa.float64())}
+    if with_rank:
+        cols["rank"] = pa.array((pos[keep] + 1).astype(np.int64),
+                                pa.int64())
+    return pa.table(cols)
+
+
+def _empty_topk(key_col: str, id_col: str, val_col: str
+                ) -> "ray.data.Dataset":
+    """Typed empty result for a zero-query search (a valid input: the
+    round-4 advice case — num_partitions=0 used to error)."""
+    return ray.data.from_arrow(pa.table({
+        key_col: pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        val_col: pa.array([], pa.float64()),
+        "rank": pa.array([], pa.int64())}))
+
+
+def _merge_topk(partials: "ray.data.Dataset", key_col: str, id_col: str,
+                val_col: str, k: int, n_keys: int,
+                ascending: bool) -> "ray.data.Dataset":
+    """Global per-key top-k from per-batch partial top-k rows.
+
+    Small-key fast path (``n_keys * k`` bounded): the merge is an
+    ASSOCIATIVE combine — one vectorized keep-best-k map over coalesced
+    partial blocks, then a single-block final task that ranks.  No hash
+    shuffle and no sort barrier: round-5 stats showed the previous
+    ``grouped_map`` sort machinery spending ~3 s wall on 2,720 merge
+    rows (40 ms of remote work) purely in the sort operator's
+    sample/barrier overhead.  Scale note: with B partial blocks the
+    final task sees at most ``ceil(B / coalesce) * n_keys * k`` rows —
+    the combine level reduces ~400 blocks per task, so even 10^6 input
+    blocks leave the final task ~4 x 10^3 x n_keys*k rows; for LARGE
+    key sets the hash-partitioned ``grouped_map`` path (bounded by
+    ``n_keys``, floored at 1 — empty query sets are valid) is used
+    instead."""
+    from ..shuffle import adaptive_partitions, grouped_map
+
+    if n_keys * k <= _SMALL_MERGE_ROWS:
+        # batch_size=None is load-bearing: the combine FUSES with the
+        # upstream partial map, so a row-count batch size here would set
+        # the fused operator's input bundling and collapse the whole
+        # partial stage into one task (measured round 5: a 64k batch
+        # size ran gen+partial as 1 task / 25 s instead of 34 tasks).
+        # Per-bundle combine keeps the upstream task granularity and
+        # still caps each task's output at n_keys * k rows.
+        combined = partials.map_batches(
+            lambda t: _keep_best_rows(t, key_col, id_col, val_col, k,
+                                      ascending, with_rank=False),
+            batch_format="pyarrow", batch_size=None)
+        # the final task sees at most (upstream blocks) * n_keys * k
+        # rows of 24 B each — for extreme block counts (10^6 blocks x a
+        # small query set) insert one more repartition+combine level or
+        # use the grouped_map path below
+        return combined.repartition(1).map_batches(
+            lambda t: _keep_best_rows(t, key_col, id_col, val_col, k,
+                                      ascending, with_rank=True),
+            batch_format="pyarrow", batch_size=None)
+
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, val_col, id_col],
+                            ascending=[True, ascending, True],
+                            kind="mergesort")
+        g = df.groupby(key_col, sort=False).head(k).copy()
+        g["rank"] = g.groupby(key_col, sort=False).cumcount() + 1
+        return g
+
+    return grouped_map(partials, key_col, merge_partition,
+                       num_partitions=max(1, min(adaptive_partitions(),
+                                                 n_keys)),
+                       group_fn=False,
+                       out_schema=pa.schema([
+                           (key_col, pa.int64()), (id_col, pa.int64()),
+                           (val_col, pa.float64()),
+                           ("rank", pa.int64())]))
+
+
+def _tie_aware_topk(val: np.ndarray, ids: np.ndarray, kk: int,
+                    ascending: bool) -> np.ndarray:
+    """Indices of the first ``kk`` rows under the (val, id-asc) tie
+    contract — argpartition alone cuts boundary ties arbitrarily (exact
+    ties are COMMON for PQ ADC distances: identical codes give identical
+    distances), which made the per-batch selection partitioning-
+    dependent (round-4 advice).  Candidates = everything at or better
+    than the kk-th value, then a lexsort of just the candidates."""
+    v = val if ascending else -val
+    if kk >= len(v):
+        cand = np.arange(len(v))
+    else:
+        part = np.argpartition(v, kk - 1)[:kk]
+        thr = v[part].max()
+        cand = np.flatnonzero(v <= thr)
+    order = np.lexsort((ids[cand], v[cand]))
+    return cand[order[:kk]]
 
 
 def topk_cosine_brute(ds: "ray.data.Dataset", queries: np.ndarray,
                       k: int = 5, id_col: str = "vec_id",
                       vec_col: str = "embedding") -> "ray.data.Dataset":
     """Exact top-k by cosine for each query row: per-batch matmul partial
-    top-k -> groupby(query_id) merge.  Returns (query_id, vec_id, cosine,
-    rank) with rank 1..k, deterministic tie-break on vec_id asc."""
+    top-k -> associative combine merge (``_merge_topk``).  Returns
+    (query_id, vec_id, cosine, rank) with rank 1..k, deterministic
+    tie-break on vec_id asc.  The partial is allocation-light: the f64
+    conversion, similarity matrix and its negation live in reused
+    per-worker buffers (``_buf``), and normalization divides the dot
+    products by the row norms in place — one einsum for norms instead of
+    a (n, dim) normalized copy."""
     qn = _normalize(np.asarray(queries, dtype=np.float64))
+    nq = len(qn)
+    if nq == 0:
+        return _empty_topk("query_id", id_col, "cosine")
 
     def partial(batch: pa.Table) -> pa.Table:
         default_gc()
-        v = vec_matrix(batch, vec_col)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        if v.size == 0:
+        n = batch.num_rows
+        if n == 0:
             return pa.table({"query_id": pa.array([], pa.int64()),
                              id_col: pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        sim = qn @ _normalize(v).T           # (q, n)
-        kk = min(k, sim.shape[1])
+        v = _vec_matrix_buffered(batch, vec_col, "topk_v")
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+        np.maximum(nrm, 1e-12, out=nrm)
+        sim = _buf("topk_sim", (nq, n))
+        np.dot(qn, v.T, out=sim)
+        sim /= nrm[None, :]
+        kk = min(k, n)
         out_q, out_id, out_s = [], [], []
-        for qi in range(sim.shape[0]):
-            part = np.argpartition(-sim[qi], kk - 1)[:kk]
-            for ci in part:
-                out_q.append(qi)
-                out_id.append(int(ids[ci]))
-                out_s.append(float(sim[qi, ci]))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         id_col: pa.array(out_id, pa.int64()),
-                         "cosine": pa.array(out_s, pa.float64())})
+        for qi in range(nq):
+            sel = _tie_aware_topk(sim[qi], ids, kk, ascending=False)
+            out_q.append(np.full(len(sel), qi, np.int64))
+            out_id.append(ids[sel].astype(np.int64))
+            out_s.append(sim[qi, sel].astype(np.float64))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_id), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_s), pa.float64())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "cosine", id_col],
-                            ascending=[True, False, True], kind="mergesort")
-        g = df.groupby("query_id", sort=False).head(k).copy()
-        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
-        return g
-
-    from ..shuffle import adaptive_partitions, grouped_map
-    # the merge input is (queries x k x blocks) rows with only
-    # len(queries) distinct keys: more partitions than queries just pays
-    # empty-task overhead (round-4: the unbounded adaptive count tripled
-    # the stage's wall-time floor at 32 CPUs).  out_schema keeps the
-    # empty hash-collision partitions from emitting schema-less blocks.
-    return grouped_map(partials, "query_id", merge_partition,
-                       num_partitions=min(adaptive_partitions(), len(qn)),
-                       group_fn=False,
-                       out_schema=pa.schema([
-                           ("query_id", pa.int64()), (id_col, pa.int64()),
-                           ("cosine", pa.float64()),
-                           ("rank", pa.int64())]))
+    return _merge_topk(partials, "query_id", id_col, "cosine", k, nq,
+                       ascending=False)
 
 
 def kmeans_lite(sample: np.ndarray, n_clusters: int, iters: int = 10,
@@ -134,55 +301,48 @@ def topk_cosine_ivf(ds: "ray.data.Dataset", queries: np.ndarray,
     embeddings)."""
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     cn = _normalize(np.asarray(centroids, dtype=np.float64))
+    nq = len(qn)
+    if nq == 0:
+        return _empty_topk("query_id", id_col, "cosine")
     probe = np.argsort(-(qn @ cn.T), axis=1)[:, :n_probe]   # (q, n_probe)
-    probe_sets = [set(p.tolist()) for p in probe]
 
     def partial(batch: pa.Table) -> pa.Table:
         default_gc()
-        v = vec_matrix(batch, vec_col)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
         out_q, out_id, out_s = [], [], []
-        if v.size:
-            vn = _normalize(v)
-            assign = np.argmax(vn @ cn.T, axis=1)
-            sim = qn @ vn.T
-            kk = min(k, sim.shape[1])
-            for qi in range(sim.shape[0]):
-                mask = np.isin(assign, list(probe_sets[qi]))
+        if n and nq:
+            v = _vec_matrix_buffered(batch, vec_col, "ivf_v")
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            nrm = np.sqrt(np.einsum("ij,ij->i", v, v))
+            np.maximum(nrm, 1e-12, out=nrm)
+            # bucket assignment must use the NORMALIZED row (the
+            # kmeans_assign contract): (v @ cnT) / nrm preserves argmax
+            # since nrm > 0 scales each row uniformly
+            assign = np.argmax(v @ cn.T, axis=1)
+            sim = _buf("ivf_sim", (nq, n))
+            np.dot(qn, v.T, out=sim)
+            sim /= nrm[None, :]
+            kk = min(k, n)
+            for qi in range(nq):
+                mask = np.isin(assign, probe[qi])
                 if not mask.any():
                     continue
                 cand = np.flatnonzero(mask)
-                take = cand[np.argsort(-sim[qi, cand])[:kk]]
-                for ci in take:
-                    out_q.append(qi)
-                    out_id.append(int(ids[ci]))
-                    out_s.append(float(sim[qi, ci]))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         id_col: pa.array(out_id, pa.int64()),
-                         "cosine": pa.array(out_s, pa.float64())})
+                sel = cand[_tie_aware_topk(sim[qi, cand], ids[cand],
+                                           min(kk, len(cand)),
+                                           ascending=False)]
+                out_q.append(np.full(len(sel), qi, np.int64))
+                out_id.append(ids[sel].astype(np.int64))
+                out_s.append(sim[qi, sel].astype(np.float64))
+        cat = (lambda p, dt: np.concatenate(p).astype(dt) if p
+               else np.zeros(0, dt))
+        return pa.table({"query_id": pa.array(cat(out_q, np.int64)),
+                         id_col: pa.array(cat(out_id, np.int64)),
+                         "cosine": pa.array(cat(out_s, np.float64))})
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "cosine", id_col],
-                            ascending=[True, False, True], kind="mergesort")
-        g = df.groupby("query_id", sort=False).head(k).copy()
-        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
-        return g
-
-    from ..shuffle import adaptive_partitions, grouped_map
-    # the merge input is (queries x k x blocks) rows with only
-    # len(queries) distinct keys: more partitions than queries just pays
-    # empty-task overhead (round-4: the unbounded adaptive count tripled
-    # the stage's wall-time floor at 32 CPUs).  out_schema keeps the
-    # empty hash-collision partitions from emitting schema-less blocks.
-    return grouped_map(partials, "query_id", merge_partition,
-                       num_partitions=min(adaptive_partitions(), len(qn)),
-                       group_fn=False,
-                       out_schema=pa.schema([
-                           ("query_id", pa.int64()), (id_col, pa.int64()),
-                           ("cosine", pa.float64()),
-                           ("rank", pa.int64())]))
+    return _merge_topk(partials, "query_id", id_col, "cosine", k, nq,
+                       ascending=False)
 
 
 def knn_graph(ds: "ray.data.Dataset", ref_ids: np.ndarray | None = None,
@@ -268,22 +428,31 @@ def knn_graph(ds: "ray.data.Dataset", ref_ids: np.ndarray | None = None,
                 col = _r_order[pos]
                 hit = ids_r[col] == cid
                 sim[np.flatnonzero(hit), col[hit]] = -np.inf
-                kk = min(k, n_ref - 1)
-                if kk <= 0:
+                # one extra partition slot, then keep-first-k per row
+                # AFTER dropping the -inf self slot: a query id absent
+                # from the reference set gets min(k, n_ref) neighbors,
+                # not n_ref - 1 (round-4 advice)
+                kk2 = min(k + 1, n_ref)
+                if kk2 <= 0:
                     continue
-                part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+                part = np.argpartition(-sim, kk2 - 1, axis=1)[:, :kk2]
                 pcos = np.take_along_axis(sim, part, axis=1)
                 pids = ids_r[part]
                 c = hi - lo
-                rix = np.repeat(np.arange(c), kk)
+                rix = np.repeat(np.arange(c), kk2)
                 # (row, cosine desc, nbr id asc) — lexsort last-key-major
                 order = np.lexsort((pids.ravel(), -pcos.ravel(), rix))
-                keep = pcos.ravel()[order] > -np.inf
-                srcs.append(np.repeat(cid, kk)[keep])
-                nbrs.append(pids.ravel()[order][keep])
-                coss.append(pcos.ravel()[order][keep])
-                rk = np.tile(np.arange(1, kk + 1), c)
-                ranks.append(rk[keep])
+                cos_s = pcos.ravel()[order]
+                ids_s = pids.ravel()[order]
+                finite = cos_s > -np.inf
+                rows_f = rix[finite]   # rix is already row-major sorted
+                within = (np.arange(len(rows_f))
+                          - np.searchsorted(rows_f, np.arange(c))[rows_f])
+                keep = within < k
+                srcs.append(np.repeat(cid, kk2)[finite][keep])
+                nbrs.append(ids_s[finite][keep])
+                coss.append(cos_s[finite][keep])
+                ranks.append(within[keep] + 1)
 
         def cat(parts, dt):
             return (np.concatenate(parts).astype(dt) if parts
@@ -718,6 +887,8 @@ def pq_topk(encoded: "ray.data.Dataset", books: np.ndarray,
     q = np.asarray(queries, dtype=np.float64)
     m, n_codes, dsub = b.shape
     nq = len(q)
+    if nq == 0:
+        return _empty_topk("query_id", id_col, "adc_dist")
     lut = np.empty((nq, m, n_codes), dtype=np.float64)
     for j in range(m):
         qs = q[:, j * dsub:(j + 1) * dsub]
@@ -733,19 +904,24 @@ def pq_topk(encoded: "ray.data.Dataset", books: np.ndarray,
         if n:
             lt = ray.get(ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False
-                                         ).astype(np.int64)
+                                         ).astype(np.int64, copy=False)
             flat = batch["codes"].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False).astype(np.int64).reshape(n, m)
+                zero_copy_only=False).astype(np.int64,
+                                             copy=False).reshape(n, m)
             for qx in range(nq):
                 # fixed-order accumulation: subspace 0..m-1
                 dist = lt[qx, 0, flat[:, 0]].copy()
                 for j in range(1, m):
                     dist += lt[qx, j, flat[:, j]]
                 kk = min(k, n)
-                part = np.argpartition(dist, kk - 1)[:kk]
-                qid_l.append(np.full(kk, qi[qx], np.int64))
-                vid_l.append(ids[part])
-                d_l.append(dist[part])
+                # tie-aware: exact ADC ties are common (identical codes
+                # give identical distances); a bare argpartition cut
+                # boundary ties by memory order, making the selection
+                # partitioning-dependent (round-4 advice)
+                sel = _tie_aware_topk(dist, ids, kk, ascending=True)
+                qid_l.append(np.full(len(sel), qi[qx], np.int64))
+                vid_l.append(ids[sel])
+                d_l.append(dist[sel])
         cat = (lambda p, dt: np.concatenate(p).astype(dt) if p
                else np.zeros(0, dt))
         return pa.table({"query_id": pa.array(cat(qid_l, np.int64)),
@@ -753,21 +929,8 @@ def pq_topk(encoded: "ray.data.Dataset", books: np.ndarray,
                          "adc_dist": pa.array(cat(d_l, np.float64))})
 
     partials = encoded.map_batches(partial, batch_format="pyarrow")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "adc_dist", id_col],
-                            kind="mergesort")
-        g = df.groupby("query_id", sort=False).head(k).copy()
-        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
-        return g
-
-    from ..shuffle import adaptive_partitions, grouped_map
-    return grouped_map(partials, "query_id", merge, group_fn=False,
-                       num_partitions=min(adaptive_partitions(), nq),
-                       out_schema=pa.schema([
-                           ("query_id", pa.int64()), (id_col, pa.int64()),
-                           ("adc_dist", pa.float64()),
-                           ("rank", pa.int64())]))
+    return _merge_topk(partials, "query_id", id_col, "adc_dist", k, nq,
+                       ascending=True)
 
 
 def pq_encode_ivf(ds: "ray.data.Dataset", books: np.ndarray,
@@ -823,6 +986,8 @@ def pq_topk_ivf(encoded: "ray.data.Dataset", books: np.ndarray,
     cn = _normalize(np.asarray(centroids, dtype=np.float64))
     m, n_codes, dsub = b.shape
     nq = len(q)
+    if nq == 0:
+        return _empty_topk("query_id", id_col, "adc_dist")
     probe = np.argsort(-(_normalize(q) @ cn.T), axis=1,
                        kind="stable")[:, :n_probe]
     lut = np.empty((nq, m, n_codes), dtype=np.float64)
@@ -840,11 +1005,12 @@ def pq_topk_ivf(encoded: "ray.data.Dataset", books: np.ndarray,
         if n:
             lt, pr = ray.get(ref)
             ids = batch[id_col].to_numpy(zero_copy_only=False
-                                         ).astype(np.int64)
+                                         ).astype(np.int64, copy=False)
             bkt = batch["bucket"].to_numpy(zero_copy_only=False
-                                           ).astype(np.int64)
+                                           ).astype(np.int64, copy=False)
             flat = batch["codes"].combine_chunks().flatten().to_numpy(
-                zero_copy_only=False).astype(np.int64).reshape(n, m)
+                zero_copy_only=False).astype(np.int64,
+                                             copy=False).reshape(n, m)
             for qx in range(nq):
                 mask = np.isin(bkt, pr[qx])
                 if not mask.any():
@@ -854,10 +1020,11 @@ def pq_topk_ivf(encoded: "ray.data.Dataset", books: np.ndarray,
                 for j in range(1, m):
                     dist += lt[qx, j, flat[rows, j]]
                 kk = min(k, len(rows))
-                part = np.argpartition(dist, kk - 1)[:kk]
-                qid_l.append(np.full(kk, qi[qx], np.int64))
-                vid_l.append(ids[rows[part]])
-                d_l.append(dist[part])
+                # tie-aware boundary selection — same contract as pq_topk
+                sel = _tie_aware_topk(dist, ids[rows], kk, ascending=True)
+                qid_l.append(np.full(len(sel), qi[qx], np.int64))
+                vid_l.append(ids[rows[sel]])
+                d_l.append(dist[sel])
         cat = (lambda p, dt: np.concatenate(p).astype(dt) if p
                else np.zeros(0, dt))
         return pa.table({"query_id": pa.array(cat(qid_l, np.int64)),
@@ -865,18 +1032,5 @@ def pq_topk_ivf(encoded: "ray.data.Dataset", books: np.ndarray,
                          "adc_dist": pa.array(cat(d_l, np.float64))})
 
     partials = encoded.map_batches(partial, batch_format="pyarrow")
-
-    def merge(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["query_id", "adc_dist", id_col],
-                            kind="mergesort")
-        g = df.groupby("query_id", sort=False).head(k).copy()
-        g["rank"] = g.groupby("query_id", sort=False).cumcount() + 1
-        return g
-
-    from ..shuffle import adaptive_partitions, grouped_map
-    return grouped_map(partials, "query_id", merge, group_fn=False,
-                       num_partitions=min(adaptive_partitions(), nq),
-                       out_schema=pa.schema([
-                           ("query_id", pa.int64()), (id_col, pa.int64()),
-                           ("adc_dist", pa.float64()),
-                           ("rank", pa.int64())]))
+    return _merge_topk(partials, "query_id", id_col, "adc_dist", k, nq,
+                       ascending=True)

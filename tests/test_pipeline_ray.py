@@ -238,6 +238,21 @@ def test_run_resumable_uri_crash_cases(ray_session, tmp_path):
         r["partition_id"] == "p0" and r["rows"] == 6
         for r in man_b.records())
 
+    # (d) TRUNCATED marker (crash mid-marker-write on an incremental
+    # filesystem): treated as uncommitted — partition deleted and
+    # rebuilt, resume never wedges on JSONDecodeError
+    with open(os.path.join(part, "_COMMITTED"), "w") as f:
+        f.write('{"files": ["trunc')
+    os.remove(os.path.join(local, "_manifest", "p0.json"))
+    n = len(built)
+    man_d = run_resumable([("p0", build)], out_dir)
+    assert len(built) == n + 1  # rebuilt
+    assert any(r["partition_id"] == "p0" and r["rows"] == 6
+               for r in man_d.records())
+    marker_d = json.loads(open(os.path.join(part, "_COMMITTED")).read())
+    assert ray.data.read_parquet(
+        [os.path.join(part, f) for f in marker_d["files"]]).count() == 6
+
 
 def test_sessionize_gap_boundary(ray_session, tmp_path):
     """30-min rule is strict (> 1800 s): exactly 1800 stays in-session."""

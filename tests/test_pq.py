@@ -90,3 +90,47 @@ def test_pq_adc_neighborhood_quality(ray_session):
     assert same_cluster / 25.0 >= 0.8, same_cluster
     # retrieved true distances within 4x of the exact-top-5 mean
     assert max(ratios) <= 4.0, ratios
+
+
+def test_pq_topk_tie_aware_across_partitions(ray_session):
+    """Exact ADC ties are common (identical codes => identical distance);
+    the per-batch selection must keep the LOWEST vec_ids at the tie
+    boundary regardless of how rows are partitioned (round-4 advice:
+    bare argpartition cut boundary ties by memory order)."""
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(4, 64))
+    # 40 vectors = 10 identical copies of each of 4 prototypes ->
+    # every copy encodes to the same codes, ADC distances tie exactly
+    v = np.repeat(base, 10, axis=0)
+    books = pq_fit(base, m=8, n_codes=4)
+    q = base[:1]
+    exp = None
+    for parts in (1, 4, 13):
+        n, dim = v.shape
+        offs = pa.array(np.arange(0, (n + 1) * dim, dim, dtype=np.int32))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.ListArray.from_arrays(
+                offs, pa.array(v.ravel(), pa.float64()))})
+        ds = ray.data.from_arrow(t).repartition(parts)
+        enc = pq_encode(ds, books)
+        out = pq_topk(enc, books, q, np.arange(1), k=5).to_pandas()
+        out = out.sort_values("rank").reset_index(drop=True)
+        got = list(zip(out["vec_id"], out["rank"]))
+        if exp is None:
+            exp = got
+            # the winner block is 10 exact ties -> ids 0..4 must win
+            assert [g[0] for g in got] == [0, 1, 2, 3, 4]
+        else:
+            assert got == exp, f"partitioning changed tie result at {parts}"
+
+
+def test_topk_empty_query_set(ray_session):
+    """Zero queries is a valid input: returns an empty (typed) dataset
+    instead of erroring on num_partitions=0 (round-4 advice)."""
+    v = _vecs(50)
+    ds = topk_cosine_brute(_ds(v), np.empty((0, 64)), k=3)
+    assert ds.count() == 0
+    # schema survives even though empty (to_pandas drops columns on
+    # empty datasets — a Ray quirk, not an engine one)
+    assert ds.schema().names == ["query_id", "vec_id", "cosine", "rank"]
