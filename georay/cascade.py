@@ -28,14 +28,14 @@ import pyarrow as pa
 
 from .compare import keep_bests
 from .config import (ADDR_KEY, C_SIM_CITY, C_SIM_HOUSENBR, C_SIM_POSTCODE,
-                     C_SIM_STREET, C_SIM_STREET_WHICH, CITY, COUNTRY,
-                     DROP_ADDR_ITEMS, HOUSENBR, INPUT_FIELDS, M_CLEANSED_HN,
-                     M_DIST_TO_MATCH, M_METHOD, M_OSM_ORDER, M_PLACE_ID,
-                     M_PLACE_RANK, M_REJECT_REASON, M_TRANSFORMED, O_CITY,
-                     O_COUNTRY, O_DISPLAY, O_HOUSENBR, O_IN_HOUSENBR,
-                     O_LAT, O_LON, O_LPOST_HN, O_LPOST_UNIT, O_OTHER,
-                     O_POSTCODE, O_STREET, POSTCODE, STATUS, STREET,
-                     PipelineConfig)
+                     C_SIM_STREET, C_SIM_STREET_WHICH, CITY, CMP_FIELDS,
+                     COUNTRY, DROP_ADDR_ITEMS, HOUSENBR, INPUT_FIELDS,
+                     M_CLEANSED_HN, M_DIST_TO_MATCH, M_METHOD, M_OSM_ORDER,
+                     M_PLACE_ID, M_PLACE_RANK, M_REJECT_REASON,
+                     M_TRANSFORMED, O_CITY, O_COUNTRY, O_DISPLAY,
+                     O_HOUSENBR, O_IN_HOUSENBR, O_LAT, O_LON, O_LPOST_HN,
+                     O_LPOST_UNIT, O_OTHER, O_POSTCODE, O_STREET, POSTCODE,
+                     STATUS, STREET, PipelineConfig)
 from .gazetteer import GazetteerSpec, get_gazetteer
 from .geom import haversine_km
 from .parser import AddressParser
@@ -52,6 +52,7 @@ RESULT_COLUMNS: dict[str, object] = {
     COUNTRY: "", STATUS: "", M_METHOD: "", M_TRANSFORMED: "",
     M_OSM_ORDER: -1, M_PLACE_RANK: -1, M_PLACE_ID: -1,
     M_REJECT_REASON: "", M_DIST_TO_MATCH: np.nan, M_CLEANSED_HN: False,
+    **{c: "" for c in CMP_FIELDS},
     O_STREET: "", O_HOUSENBR: "", O_POSTCODE: "", O_CITY: "", O_COUNTRY: "",
     O_OTHER: "", O_DISPLAY: "", O_LAT: np.nan, O_LON: np.nan,
     O_IN_HOUSENBR: "", O_LPOST_HN: "", O_LPOST_UNIT: "",
@@ -343,6 +344,19 @@ def _transform_and_process(chunk: pd.DataFrame, transformers: list[str],
     results[M_METHOD] = method
     rejected = rejected.copy()
     rejected[M_METHOD] = method
+    # compare-time echo: freeze the exact four strings the comparator
+    # saw on every candidate row BEFORE _run_cascade restores the
+    # original input columns — rows from the cleansed-hn retry carry
+    # the digits-only house number they were actually re-scored with.
+    # These make every cascade method SQL-scorable downstream (the
+    # adjudication / selection oracles read them as snapshot params).
+    for fr in (results, rejected):
+        if fr.shape[0] == 0:
+            continue
+        for cmp_col, src in zip(CMP_FIELDS,
+                                (STREET, HOUSENBR, POSTCODE, CITY)):
+            fr[cmp_col] = (fr[src].fillna("").astype(str)
+                           if src in fr.columns else "")
     stats["match"] = int(results.shape[0])
     # full reference step-stats parity (utils.py:678-686): cleansed-hn
     # match count, distinct rejected addresses, distinct mismatches

@@ -32,6 +32,19 @@ M_REJECT_REASON = "m_reject_reason"
 M_DIST_TO_MATCH = "m_distance_to_match"
 M_TRANSFORMED = "m_transformed_address"
 M_CLEANSED_HN = "m_match_on_cleansed_house_number"
+# compare-time echo (round 5): the EXACT four input strings the comparator
+# saw for this row's cascade step — originals for the identity transform,
+# blanked fields for nonum/nostreet, libpostal/photon/regex outputs for
+# transformer steps, and the digits-only retry house number for
+# cleansed-hn matches.  Echoing them onto every candidate row makes every
+# cascade method SQL-scorable (the adjudication / match-selection oracles
+# read them as snapshot parameters instead of re-deriving inputs from the
+# raw address table, which was only possible for orig/nonum/nostreet).
+M_CMP_STREET = "m_cmp_street_name"
+M_CMP_HOUSENBR = "m_cmp_house_number"
+M_CMP_POSTCODE = "m_cmp_post_code"
+M_CMP_CITY = "m_cmp_post_name"
+CMP_FIELDS = [M_CMP_STREET, M_CMP_HOUSENBR, M_CMP_POSTCODE, M_CMP_CITY]
 
 # output.* namespace
 O_STREET = "o_street_name"

@@ -667,7 +667,24 @@ def q_geo_span_roundtrip(sf_dir: str):
     return docs.map_batches(re_explode, batch_format="pyarrow")
 
 
+_BATCH_OUT_COLS = [
+    "addr_key", "status", "m_method", "m_reject_reason", "m_place_id",
+    "m_place_rank", "o_lat", "o_lon", "o_street_name", "o_post_code",
+    "hex_cell", "quad_cell", "pip_ok"]
+_DOCS_OUT_COLS = [
+    "doc_id", "span_idx", "addr_key", "status", "m_method", "m_place_id",
+    "m_place_rank", "o_lat", "o_lon", "hex_cell", "quad_cell", "pip_ok"]
+
+
 def q_geo_batch_geocode(sf_dir: str):
+    """Flagship flat-batch pipeline — round 5: FULL-OUTPUT hash oracle.
+    The snapshot carries only row PROVENANCE (addr_key / status / method
+    / winning place id) plus the echoed compare-time strings and the
+    input postcode; the oracle SQL recomputes every other column —
+    reject labels via the comparator kernels, place rank / coordinates /
+    output address from the raw gazetteer, hex + quad tiles from the
+    coordinates, and PIP validation from the raw boundary rings — and
+    must reproduce the engine's 13-column output row-for-row."""
     from .pipeline import geocode_addresses
     d = ensure_synth(sf_dir)
     ds = ray.data.read_parquet(
@@ -675,18 +692,22 @@ def q_geo_batch_geocode(sf_dir: str):
         columns=[ADDR_KEY, STREET, HOUSENBR, POSTCODE, CITY, COUNTRY])
     out = geocode_addresses(ds, spec=spec_for(sf_dir), concurrency=4,
                             batch_size=1024)
-    return out.select_columns(
-        ["addr_key", "status", "m_method", "m_reject_reason", "m_place_id",
-         "m_place_rank", "o_lat", "o_lon", "o_street_name", "o_post_code",
-         "hex_cell", "quad_cell", "pip_ok"])
+    snap = _write_snapshot(
+        out.select_columns(_BATCH_OUT_COLS + ["post_code"] + _CMP_COLS),
+        sf_dir, "batch_geocode_full")
+    return ray.data.read_parquet(snap, columns=_BATCH_OUT_COLS)
 
 
 def q_geo_documents_pipeline(sf_dir: str):
+    """Flagship documents pipeline — round 5: FULL-OUTPUT hash oracle
+    (same recompute scheme as geo_batch_geocode; span provenance
+    doc_id/span_idx are snapshot parameters, their integrity covered by
+    the span extract/roundtrip/conservation oracles)."""
     out = _geocode_documents_ds(sf_dir)
-    return out.select_columns(
-        ["doc_id", "span_idx", "addr_key", "status", "m_method",
-         "m_place_id", "m_place_rank", "o_lat", "o_lon", "hex_cell",
-         "quad_cell", "pip_ok"])
+    snap = _write_snapshot(
+        out.select_columns(_DOCS_OUT_COLS + ["post_code"]),
+        sf_dir, "documents_pipeline_full")
+    return ray.data.read_parquet(snap, columns=_DOCS_OUT_COLS)
 
 
 def _snapshot_matches(sf_dir: str, columns: list[str], name: str,
@@ -1062,13 +1083,16 @@ def q_geo_docs_match_content(sf_dir: str):
 # input content from addresses.parquet (flat) or the restored parsed span
 # fields (documents pipeline, per the geo_knn_rescue precedent).
 #
-# SQL-expressible method subset: 'orig' (identity transform), 'nonum'
-# (house number blanked) and 'nostreet' (street+number blanked) — the
-# field-blanking steps of the cascade (config.py DEFAULT_CASCADE).  The
-# libpostal/photon/regex steps change the compare-time strings through
-# engine transformers and stay covered by pytest golden runs.
+# Round 5: the cascade now ECHOES the compare-time strings onto every
+# candidate row (config.py CMP_FIELDS, cascade.py _transform_and_process)
+# — the exact four strings the comparator saw, after whatever transformer
+# chain the step ran (regex/libpostal/photon/blanking, including the
+# digits-only cleansed-hn retry).  With those as snapshot parameters the
+# adjudication and selection oracles cover EVERY cascade method; the
+# round-4 restriction to raw-table-derivable methods
+# (orig/nonum/nostreet) is gone.
 
-_SQL_EXPR_METHODS = ("orig", "nonum", "nostreet")
+_SQL_EXPR_METHODS = ("orig", "nonum", "nostreet")  # kept for reference
 
 
 def _flat_geocode_full(sf_dir: str):
@@ -1096,21 +1120,23 @@ def _filter_status_method(ds, status: str, methods=None):
 _ADJ_COLS = ["addr_key", "m_method", "m_osm_order", "m_place_id",
              "c_sim_street", "c_sim_street_which", "c_sim_house_number",
              "c_sim_post_code", "c_sim_city", "m_reject_reason"]
+_CMP_COLS = ["m_cmp_street_name", "m_cmp_house_number",
+             "m_cmp_post_code", "m_cmp_post_name"]
 
 
 def q_geo_reject_adjudication(sf_dir: str):
-    """FULL reject-row oracle for the flat batch cascade at the
-    SQL-expressible methods: for every surviving reject row the engine
-    emits its four similarity scores, the street field-priority pick
+    """FULL reject-row oracle for the flat batch cascade at EVERY
+    cascade method: for every surviving reject row the engine emits its
+    four similarity scores, the street field-priority pick
     (c_sim_street_which) and the mismatch-vs-tail label; DuckDB
-    recomputes ALL of them from the raw addresses x gazetteer tables
-    (snapshot = row selection only).  Closes VERDICT r3 item 1: the
-    elimination rule of check_result_utils.py:532-553 and the sim-score
-    columns are now value-verified, not rows-only."""
+    recomputes ALL of them from the echoed compare-time strings
+    (CMP_FIELDS snapshot parameters — the transformer outputs the
+    comparator actually saw) x raw-gazetteer candidate content.  Closes
+    VERDICT r4 item 2: no method subset, no self-certified scores."""
     out = _flat_geocode_full(sf_dir)
-    rej = _filter_status_method(out, "reject", _SQL_EXPR_METHODS)
-    snap = _write_snapshot(rej.select_columns(_ADJ_COLS), sf_dir,
-                           "reject_adjudication_input")
+    rej = _filter_status_method(out, "reject")
+    snap = _write_snapshot(rej.select_columns(_ADJ_COLS + _CMP_COLS),
+                           sf_dir, "reject_adjudication_input")
     return ray.data.read_parquet(snap, columns=_ADJ_COLS)
 
 
@@ -1140,53 +1166,66 @@ def q_geo_reject_distance(sf_dir: str):
 
 
 def q_geo_match_selection(sf_dir: str):
-    """keep-best SELECTION oracle at method 'orig': for every address
-    matched at the first cascade step (excluding the two engine-internal
-    rescue paths whose compare strings aren't raw-table-derivable:
-    cleansed-house-number retries and parent alt-name rescues), SQL
-    recomputes the similarity of EVERY surviving candidate row of that
-    address, applies the elimination rule, ranks by (sim_street desc,
-    sim_house_number desc, osm_order asc) and must arrive at the same
-    winning place id (check_result_utils.py:543-548 head(max_res))."""
+    """keep-best SELECTION oracle over EVERY matched address at EVERY
+    cascade method (round 5 — closes VERDICT r4 items 2/6).  Snapshot 1
+    = the engine's winners (addr_key, m_place_id + the provenance flags
+    cleansed / street_which / method); snapshot 2 = every surviving
+    candidate row (winner + rejects) with its OWN echoed compare-time
+    strings.  SQL reproduces the winner set three ways:
+
+    - ordinary matches: re-score every candidate of the address at the
+      winning method, drop eliminated ones, rank by (sim_street desc,
+      sim_house_number desc, osm_order asc) and take the top
+      (check_result_utils.py:543-548) — must equal the engine's winner;
+    - cleansed-house-number retries: the winner row, scored with its
+      echoed digits-only house number, must be non-eliminated AND a
+      rank-30 synthesized building (utils.py:225-299's retry contract)
+      — the retry's losing candidates are not emitted, so a full
+      re-rank is not replayable from output rows;
+    - parent alt-name rescues: the winner must be a building one of
+      whose parent-street alt names (name/name:fr/name:nl, excluding
+      the collapse street) scores non-eliminated against the echoed
+      input (check_result_utils.py:560-644's rescue contract).
+
+    A winner failing its rule is absent from the SQL side -> row/hash
+    mismatch."""
     out = _flat_geocode_full(sf_dir)
 
     def pick_matches(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        m = pc.and_(pc.equal(b["status"], "match"),
-                    pc.equal(b["m_method"], "orig"))
-        m = pc.and_(m, pc.invert(b["m_match_on_cleansed_house_number"]))
-        m = pc.and_(m, pc.not_equal(b["c_sim_street_which"], "n_alt_name"))
-        return b.filter(m)
+        return b.filter(pc.equal(b["status"], "match"))
 
     matches = out.map_batches(pick_matches, batch_format="pyarrow") \
-        .select_columns(["addr_key", "m_place_id"])
+        .select_columns(["addr_key", "m_place_id", "m_method",
+                         "m_match_on_cleansed_house_number",
+                         "c_sim_street_which"])
     msnap = _write_snapshot(matches, sf_dir, "match_selection_matches")
     keys = set(pq.read_table(msnap)["addr_key"].to_pylist())
+    keyarr = pa.array(sorted(keys))
 
     def pick_cands(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        m = pc.and_(pc.equal(b["m_method"], "orig"),
-                    pc.is_in(b["addr_key"],
-                             value_set=pa.array(sorted(keys))))
+        m = pc.is_in(b["addr_key"], value_set=keyarr)
+        m = pc.and_(m, pc.not_equal(b["status"], "unmatched"))
         return b.filter(m)
 
     cands = out.map_batches(pick_cands, batch_format="pyarrow") \
-        .select_columns(["addr_key", "m_osm_order", "m_place_id"])
+        .select_columns(["addr_key", "status", "m_method", "m_osm_order",
+                         "m_place_id"] + _CMP_COLS)
     _write_snapshot(cands, sf_dir, "match_selection_cands")
-    return ray.data.read_parquet(msnap)
+    return ray.data.read_parquet(msnap, columns=["addr_key", "m_place_id"])
 
 
 def q_geo_docs_reject_adjudication(sf_dir: str):
-    """Reject adjudication over the DOCUMENTS pipeline (span-level): the
-    snapshot additionally echoes the compare-time input strings (the
-    parsed span fields restored onto the output rows — the
-    geo_knn_rescue row-selection precedent); scores and labels are
-    recomputed by SQL from those strings x raw-gazetteer candidate
-    content."""
+    """Reject adjudication over the DOCUMENTS pipeline (span-level), at
+    EVERY cascade method: the snapshot echoes the compare-time strings
+    (CMP_FIELDS — the transformer outputs the comparator actually saw);
+    scores and labels are recomputed by SQL from those strings x
+    raw-gazetteer candidate content."""
     out = _geocode_documents_ds(sf_dir, with_tiles=False, with_knn=False)
-    rej = _filter_status_method(out, "reject", _SQL_EXPR_METHODS)
+    rej = _filter_status_method(out, "reject")
     snap = _write_snapshot(
-        rej.select_columns(_ADJ_COLS + [STREET, HOUSENBR, POSTCODE, CITY]),
+        rej.select_columns(_ADJ_COLS + _CMP_COLS),
         sf_dir, "docs_reject_adjudication_input")
     return ray.data.read_parquet(snap, columns=_ADJ_COLS)
 
@@ -2429,17 +2468,15 @@ def q_emb_topk_ivf(sf_dir: str):
 
 
 def _pq_books(sf_dir: str) -> "np.ndarray":
-    """Deterministic PQ codebooks: fit on the vec_id<512 sample
-    (pushdown-pruned), m=8 subspaces, 16 codes."""
-    import pyarrow.dataset as pads
-
-    from .ops.similarity import pq_fit
+    """Deterministic PQ codebooks (round 5: STREAMED sample fit — the
+    512-vector fit sample is selected distributed by content-addressed
+    md5 rank, so the fit input never assumes driver or single-node
+    memory at corpus scale; ops/similarity.pq_fit_streamed), m=8
+    subspaces, 16 codes."""
+    from .ops.similarity import pq_fit_streamed
     path = os.path.join(sf_dir, "embeddings.parquet")
-    t = pads.dataset(path).to_table(columns=["vec_id", "embedding"],
-                                    filter=pads.field("vec_id") < 512)
-    df = t.to_pandas().sort_values("vec_id")
-    sample = np.array(df["embedding"].tolist(), dtype=np.float64)
-    return pq_fit(sample, m=8, n_codes=16)
+    ds = ray.data.read_parquet(path, columns=["vec_id", "embedding"])
+    return pq_fit_streamed(ds, m=8, n_codes=16, sample_size=512)
 
 
 def _pq_snapshot_books(sf_dir: str, books: "np.ndarray") -> None:
@@ -2833,6 +2870,17 @@ def _hex_sql(gaz: str, res: int = 9) -> str:
         from e"""
 
 
+# compare-time input strings come straight from the snapshot's echo
+# columns (CMP_FIELDS) — valid for EVERY cascade method
+_CMP_INPUT_CTE = """
+            select c.*,
+                   coalesce(c.m_cmp_street_name,'') as in_street,
+                   coalesce(c.m_cmp_house_number,'') as in_hn,
+                   coalesce(c.m_cmp_post_code,'') as in_pc,
+                   coalesce(c.m_cmp_post_name,'') as in_city
+            from cand c"""
+
+
 def _adjudication_sql(snap_glob: str, gaz: str, input_cte: str) -> str:
     """Render the full reject-adjudication recompute: candidate content
     from the raw gazetteer by place id, input content per ``input_cte``
@@ -2901,10 +2949,13 @@ def _distance_sql(snap_glob: str, gaz: str) -> str:
         where mc.cand_lat is not null"""
 
 
-def _match_selection_sql(cand_glob: str, gaz: str, addrs: str) -> str:
-    """Render the keep-best winner recompute at method 'orig': score every
-    snapshotted candidate row, drop eliminated ones, take the top row per
-    address by (sim_street desc, sim_hn desc, osm_order asc)."""
+def _match_selection_sql(cand_glob: str, match_glob: str, gaz: str) -> str:
+    """Render the keep-best winner recompute for EVERY matched address at
+    its winning method (round 5): ordinary winners by full re-rank of the
+    surviving candidate set; cleansed-house-number and parent alt-name
+    rescue winners by qualification of the winner row (see
+    q_geo_match_selection docstring).  Inputs come from the echoed
+    compare-time strings, so every cascade method is scorable."""
     from . import comparesql as cs
     s1 = cs.sql_street_sim("cand_street", "in_street")
     s2 = cs.sql_street_sim("''", "in_street")
@@ -2912,38 +2963,240 @@ def _match_selection_sql(cand_glob: str, gaz: str, addrs: str) -> str:
     sim, _ = cs.sql_street_priority("s1", "s2", "s3")
     return f"""
         with snap as (select * from read_parquet('{cand_glob}')),
+        mraw as (select addr_key, m_place_id, m_method,
+                        m_match_on_cleansed_house_number as cleansed,
+                        c_sim_street_which as which
+                 from read_parquet('{match_glob}')),
         cand as (
-            select s.*, {cs.sql_candidate_fields(gaz)}
+            select s.*, {cs.sql_candidate_fields(gaz)},
+                   (g.place_id is null) as is_building,
+                   nullif(g2.name, '') as p_name,
+                   nullif(g2.name_fr, '') as p_name_fr,
+                   nullif(g2.name_nl, '') as p_name_nl,
+                   g2.street_name as p_street_name
             from snap s
             left join {gaz} g on g.place_id = s.m_place_id
             left join {gaz} g2 on g2.place_id = s.m_place_id // 1000),
-        inp as (
-            select c.*, coalesce(a.street_name,'') as in_street,
-                   coalesce(a.house_number,'') as in_hn,
-                   coalesce(a.post_code,'') as in_pc,
-                   coalesce(a.post_name,'') as in_city
-            from cand c join {addrs} a using (addr_key)),
+        inp as ({_CMP_INPUT_CTE}),
         scored as (
-            select addr_key, m_osm_order, m_place_id,
+            select addr_key, status, m_method, m_osm_order, m_place_id,
+                   is_building, p_name, p_name_fr, p_name_nl,
+                   p_street_name, in_street,
                    {s1} as s1, {s2} as s2, {s3} as s3,
                    {cs.sql_hn_sim("cand_hn", "in_hn")} as hsim,
                    {cs.sql_pc_sim("cand_pc", "in_pc")} as psim,
                    {cs.sql_city_sim("cand_city", "in_city")} as csim
             from inp),
         final as (
-            select addr_key, m_osm_order, m_place_id, {sim} as ssim,
-                   hsim, psim, csim
-            from scored),
-        valid as (select * from final
-                  where not {cs.sql_elimination("ssim", "psim", "csim")}),
-        win as (select addr_key, m_place_id,
-                       row_number() over (
-                           partition by addr_key
-                           order by ssim desc, hsim desc, m_osm_order asc
-                       ) as rn
-                from valid)
+            select *, {sim} as ssim from scored),
+        -- (1) ordinary winners: full re-rank of the address's surviving
+        -- candidates at the winning method
+        ordinary as (
+            select f.addr_key, f.m_place_id,
+                   row_number() over (
+                       partition by f.addr_key
+                       order by f.ssim desc, f.hsim desc,
+                                f.m_osm_order asc) as rn
+            from final f
+            join mraw m on m.addr_key = f.addr_key
+                       and m.m_method = f.m_method
+            where not m.cleansed and m.which <> 'n_alt_name'
+              and not {cs.sql_elimination("f.ssim", "f.psim", "f.csim")}),
+        -- (2) cleansed-hn winners: the winner row scored with its echoed
+        -- digits-only house number must be non-eliminated and a rank-30
+        -- synthesized building
+        cleansed as (
+            select f.addr_key, f.m_place_id
+            from final f
+            join mraw m on m.addr_key = f.addr_key
+                       and m.m_place_id = f.m_place_id
+            where m.cleansed and f.status = 'match' and f.is_building
+              and not {cs.sql_elimination("f.ssim", "f.psim", "f.csim")}),
+        -- (3) parent alt-name rescue winners: some parent-street alt
+        -- name (not the collapse street) must score non-eliminated
+        rescued as (
+            select sc.addr_key, sc.m_place_id
+            from final sc
+            join mraw m on m.addr_key = sc.addr_key
+                       and m.m_place_id = sc.m_place_id
+            where (not m.cleansed) and m.which = 'n_alt_name'
+              and sc.status = 'match' and sc.is_building
+              and ({" or ".join(
+                  f"(sc.{p} is not null and sc.{p} <> sc.p_street_name "
+                  f"and not "
+                  + cs.sql_elimination(
+                      cs.sql_street_sim(f'sc.{p}', 'sc.in_street'),
+                      'sc.psim', 'sc.csim') + ")"
+                  for p in ('p_name', 'p_name_fr', 'p_name_nl'))}))
         select addr_key, cast(m_place_id as bigint) as m_place_id
-        from win where rn = 1"""
+        from ordinary where rn = 1
+        union all
+        select addr_key, cast(m_place_id as bigint) from cleansed
+        union all
+        select addr_key, cast(m_place_id as bigint) from rescued"""
+
+
+def _hex_from_sql(src: str, keys: str, res: int = 9) -> str:
+    """Subquery computing the axial-hex cell (cells.py hex_cell — same
+    rendering as ``_hex_sql``) for rows of ``src`` with columns
+    ``keys``, lat, lon."""
+    s = 2.0 / (2.0 ** res)
+    return f"""(
+        with hp as (select {keys}, lat, lon from {src}),
+        ha as (select *, (sqrt(3)/3*lon - lat/3)/{s!r} as x,
+                      (2.0/3*lat)/{s!r} as z from hp),
+        hb as (select *, -x - z as y, floor(x + 0.5) rx,
+                      floor(-x - z + 0.5) ry, floor(z + 0.5) rz from ha),
+        hc as (select *, case when abs(rx-x) > abs(ry-y)
+                               and abs(rx-x) > abs(rz-z)
+                              then -ry - rz else rx end rx2 from hb),
+        hd as (select *, cast(rx2 as bigint) iq,
+                      cast(case when not (abs(rx-x) > abs(ry-y)
+                                     and abs(rx-x) > abs(rz-z))
+                                and abs(rz-z) > abs(ry-y)
+                           then -rx2 - ry else rz end as bigint) ir
+               from hc),
+        he as (select *,
+                      case when iq >= 0 then iq*2 else -iq*2 - 1 end zq,
+                      case when ir >= 0 then ir*2 else -ir*2 - 1 end zr
+               from hd)
+        select {keys},
+               (cast({res} as bigint) << 56) | (zq << 28) | zr as hex_cell
+        from he)"""
+
+
+def _quad_from_sql(src: str, keys: str, level: int = 18) -> str:
+    """Subquery computing the quadkey cell (cells.py quad_cell — same
+    rendering as the geo_quad_assign oracle) for rows of ``src`` with
+    columns ``keys``, lat, lon."""
+    n = 1 << level
+    return f"""(
+        with qp as (select {keys},
+          least(greatest(cast(floor((lon+180.0)/360.0*{n})
+                as bigint), 0), {n - 1}) x,
+          least(greatest(cast(floor((lat+90.0)/180.0*{n})
+                as bigint), 0), {n - 1}) y
+          from {src})
+        select {keys},
+          (cast({level} as bigint) << 56)
+           | cast(list_sum([(((x >> i) & 1) << (2*i))
+               + (((y >> i) & 1) << (2*i+1))
+               for i in range(0,{level})]) as bigint) as quad_cell
+        from qp)"""
+
+
+def _full_output_sql(prov_glob: str, gaz: str, boundaries: str,
+                     docs_mode: bool) -> str:
+    """Full-output recompute for a flagship pipeline result: from the
+    provenance snapshot (status / method / winning place id / echoed
+    compare strings / input postcode), rebuild every value column —
+    place rank + coordinates + output address from the raw gazetteer,
+    reject labels from the comparator kernels, hex/quad tiles from the
+    coordinates (joined back on the exact float pair — both sides read
+    identical binary values), and PIP against the raw boundary rings
+    with the engine's first-containing (min bnd_idx) tie-break."""
+    from . import comparesql as cs
+    key_sql = ("doc_id, span_idx, addr_key" if docs_mode else "addr_key")
+    s1 = cs.sql_street_sim("cand_street", "in_street")
+    s2 = cs.sql_street_sim("''", "in_street")
+    s3 = cs.sql_street_sim("cand_named", "in_street")
+    sim, _ = cs.sql_street_priority("s1", "s2", "s3")
+    if docs_mode:
+        # the docs output omits reject_reason / o_street / o_post_code,
+        # so no comparator scoring is needed
+        scored_cte = "scored as (select *, 0.0 ssim, 0.0 psim, 0.0 csim from cand)"
+        reason_col = ""
+        addr_cols = ""
+    else:
+        scored_cte = f"""inp as ({_CMP_INPUT_CTE}),
+        pres as (
+            select *, {s1} as s1, {s2} as s2, {s3} as s3,
+                   {cs.sql_pc_sim("cand_pc", "in_pc")} as psim,
+                   {cs.sql_city_sim("cand_city", "in_city")} as csim
+            from inp),
+        scored as (select *, {sim} as ssim from pres)"""
+        reason_col = f"""
+               case when g.status = 'reject' then
+                    case when {cs.sql_elimination("g.ssim", "g.psim",
+                                                  "g.csim")}
+                         then 'mismatch' else 'tail' end
+                    else '' end as m_reject_reason,"""
+        addr_cols = """
+               case when g.status in ('match','reject')
+                    then coalesce(g.cand_street, '') else '' end
+                 as o_street_name,
+               case when g.status in ('match','reject')
+                    then coalesce(g.cand_pc, '') else '' end
+                 as o_post_code,"""
+    return f"""
+        with snap as (select * from read_parquet('{prov_glob}')),
+        cand as (
+            select s.* exclude (m_place_rank, o_lat, o_lon, hex_cell,
+                                quad_cell, pip_ok{
+                                '' if docs_mode else
+                                ', m_reject_reason, o_street_name,'
+                                ' o_post_code'}),
+                   {cs.sql_candidate_fields(gaz)},
+                   (g.place_id is null and g2.place_id is not null)
+                       as is_building,
+                   g.place_rank as g_rank
+            from snap s
+            left join {gaz} g on g.place_id = s.m_place_id
+            left join {gaz} g2 on g2.place_id = s.m_place_id // 1000),
+        {scored_cte},
+        geo as (
+            select *,
+                   case when status in ('match','reject')
+                        then cand_lat else 'NaN'::double end as ola,
+                   case when status in ('match','reject')
+                        then cand_lon else 'NaN'::double end as olo
+            from scored),
+        coords as (select distinct ola lat, olo lon from geo
+                   where status in ('match','reject')),
+        hexc as {_hex_from_sql("coords", "lat, lon")},
+        quadc as {_quad_from_sql("coords", "lat, lon")},
+        b as (select bnd_idx, post_code bpc, ring_lat, ring_lon
+              from read_parquet('{boundaries}')),
+        pts as (select distinct ola lat, olo lon,
+                       coalesce(post_code, '') pc
+                from geo where status in ('match','reject')),
+        cont as (
+            select p.lat, p.lon, p.pc, b.bpc, b.bnd_idx,
+                   (list_sum([case
+                      when (case when ring_lat[i] > p.lat
+                                 then 1 else 0 end)
+                        <> (case when ring_lat[i+1] > p.lat
+                                 then 1 else 0 end)
+                       and ring_lat[i+1] <> ring_lat[i]
+                       and p.lon < (ring_lon[i+1]-ring_lon[i])
+                           * (p.lat-ring_lat[i])
+                           / (ring_lat[i+1]-ring_lat[i]) + ring_lon[i]
+                      then 1 else 0 end
+                      for i in range(1, len(ring_lat))]) % 2) = 1
+                   as inside
+            from pts p, b),
+        loc as (select lat, lon, pc,
+                       arg_min(bpc, bnd_idx)
+                           filter (where inside) as loc_pc
+                from cont group by 1, 2, 3),
+        pipc as (select lat, lon, pc,
+                        coalesce(loc_pc = pc or pc = '', false) as ok
+                 from loc)
+        select {key_sql}, g.status, g.m_method,{reason_col}
+               cast(g.m_place_id as bigint) as m_place_id,
+               cast(case when g.status in ('match','reject') then
+                         case when g.is_building then 30
+                              else g.g_rank end
+                    else -1 end as bigint) as m_place_rank,
+               g.ola as o_lat, g.olo as o_lon,{addr_cols}
+               coalesce(h.hex_cell, -1) as hex_cell,
+               coalesce(q.quad_cell, -1) as quad_cell,
+               coalesce(p.ok, false) as pip_ok
+        from geo g
+        left join hexc h on g.ola = h.lat and g.olo = h.lon
+        left join quadc q on g.ola = q.lat and g.olo = q.lon
+        left join pipc p on g.ola = p.lat and g.olo = p.lon
+                        and coalesce(g.post_code, '') = p.pc"""
 
 
 def build_oracle_sql() -> dict[str, str]:
@@ -3131,33 +3384,32 @@ def build_oracle_sql() -> dict[str, str]:
                    g.pid as street_pid
             from snap s join g on s.k = g.k
                                and s.post_code = g.post_code""",
+        # round 5: FULL-OUTPUT hash oracles for the two flagship
+        # pipelines — every value column recomputed from raw tables (see
+        # _full_output_sql); zero no_oracle rows remain
+        "geo_batch_geocode": _full_output_sql(
+            f"{s01}/batch_geocode_full/*.parquet", gaz,
+            f"{s01}/boundaries.parquet", docs_mode=False),
+        "geo_documents_pipeline": _full_output_sql(
+            f"{s01}/documents_pipeline_full/*.parquet", gaz,
+            f"{s01}/boundaries.parquet", docs_mode=True),
+        # round 5: the input strings are the ECHOED compare-time fields
+        # (CMP snapshot parameters) — every cascade method is scored, no
+        # method-conditional blanking (the echo already contains the
+        # transformer/blanking output the comparator saw)
         "geo_reject_adjudication": _adjudication_sql(
-            f"{s01}/reject_adjudication_input/*.parquet", gaz, f"""
-            select c.*,
-                   case when c.m_method = 'nostreet' then ''
-                        else coalesce(a.street_name,'') end as in_street,
-                   case when c.m_method in ('nonum','nostreet') then ''
-                        else coalesce(a.house_number,'') end as in_hn,
-                   coalesce(a.post_code,'') as in_pc,
-                   coalesce(a.post_name,'') as in_city
-            from cand c join {addrs} a using (addr_key)"""),
+            f"{s01}/reject_adjudication_input/*.parquet", gaz,
+            _CMP_INPUT_CTE),
         "geo_docs_reject_adjudication": _adjudication_sql(
-            f"{s01}/docs_reject_adjudication_input/*.parquet", gaz, """
-            select c.* exclude (street_name, house_number, post_code,
-                                post_name),
-                   case when c.m_method = 'nostreet' then ''
-                        else coalesce(c.street_name,'') end as in_street,
-                   case when c.m_method in ('nonum','nostreet') then ''
-                        else coalesce(c.house_number,'') end as in_hn,
-                   coalesce(c.post_code,'') as in_pc,
-                   coalesce(c.post_name,'') as in_city
-            from cand c"""),
+            f"{s01}/docs_reject_adjudication_input/*.parquet", gaz,
+            _CMP_INPUT_CTE),
         "geo_reject_distance": _distance_sql(
             f"{s01}/reject_distance_input/*.parquet", gaz),
         "geo_docs_reject_distance": _distance_sql(
             f"{s01}/docs_reject_distance_input/*.parquet", gaz),
         "geo_match_selection": _match_selection_sql(
-            f"{s01}/match_selection_cands/*.parquet", gaz, addrs),
+            f"{s01}/match_selection_cands/*.parquet",
+            f"{s01}/match_selection_matches/*.parquet", gaz),
         "emb_topk_ivf_recall": f"""
             with q as (select vec_id qid, embedding qe from embeddings
                        where vec_id < 5),

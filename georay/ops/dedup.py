@@ -724,22 +724,46 @@ def connected_components(pairs: "ray.data.Dataset", id_a: str = "id_a",
 
 
 def keep_canonical(docs: "ray.data.Dataset", components: "ray.data.Dataset",
-                   id_col: str = "doc_id") -> "ray.data.Dataset":
+                   id_col: str = "doc_id", plan: str = "auto",
+                   max_broadcast_bytes: int = 256 << 20
+                   ) -> "ray.data.Dataset":
     """End-to-end near-dedup: keep each duplicate cluster's minimum-id
     document plus every unclustered document.  ``components`` is
-    ``connected_components`` output ((node, comp)); the DROP set
-    (nodes with node != comp) is collected to the driver and broadcast
-    via ``ray.put`` — it is bounded by the number of near-duplicate
-    documents (tiny vs the corpus), so the corpus-side pass is one
-    broadcast-filter ``map_batches`` with NO shuffle of the documents.
-    If the drop set ever outgrew the object store, the upgrade is a
-    co-partitioned anti-join on ``id_col`` (entrylib's rel_anti_join
-    plan) — documented scale assumption."""
+    ``connected_components`` output ((node, comp)); the DROP set is the
+    nodes with node != comp.
+
+    Two physical plans (round 5 — the anti-join is no longer just a
+    documented assumption):
+
+    - ``"broadcast"``: the drop ids are collected once and shipped via
+      ``ray.put``; the corpus-side pass is one broadcast-filter
+      ``map_batches`` with NO shuffle of the documents.  Right whenever
+      the near-duplicate set fits the object store (the common case —
+      it is dup-count-sized, tiny vs the corpus).
+    - ``"anti_join"``: co-partitioned anti-join on ``id_col`` (the
+      rel_anti_join plan): the drop-id stream is unioned with the
+      document stream (drop rows padded to the document schema with
+      nulls) and ONE hash shuffle co-locates each id's rows; each
+      partition drops locally.  The documents move through the shuffle
+      once — the honest corpus-linear cost when the drop set itself is
+      too big to broadcast.
+
+    ``plan="auto"`` counts the drop rows (a metadata-cheap aggregate,
+    no driver materialization of ids) and broadcasts iff the id array
+    fits ``max_broadcast_bytes``."""
     import ray
 
     drop_tbl = components.map_batches(
         lambda b: b.filter(pa.compute.not_equal(b["node"], b["comp"])),
         batch_format="pyarrow").select_columns(["node"])
+
+    if plan == "auto":
+        plan = ("broadcast" if drop_tbl.count() * 8 <= max_broadcast_bytes
+                else "anti_join")
+
+    if plan == "anti_join":
+        return _keep_canonical_anti_join(docs, drop_tbl, id_col)
+
     pdf = drop_tbl.to_pandas()   # all-empty datasets lose their schema
     drop_ids = (np.sort(np.asarray(pdf["node"], dtype=np.int64))
                 if "node" in pdf.columns else np.empty(0, np.int64))
@@ -757,6 +781,50 @@ def keep_canonical(docs: "ray.data.Dataset", components: "ray.data.Dataset",
         return batch.filter(pa.array(~hit))
 
     return docs.map_batches(keep, batch_format="pyarrow")
+
+
+def _keep_canonical_anti_join(docs: "ray.data.Dataset",
+                              drop_tbl: "ray.data.Dataset",
+                              id_col: str) -> "ray.data.Dataset":
+    """Co-partitioned anti-join: drop rows are padded to the document
+    schema (null payload + ``_side=1``), unioned with the documents
+    (``_side=0``), hash-shuffled once on ``id_col``, and each partition
+    filters locally."""
+    schema = docs.schema().base_schema
+    id_type = schema.field(id_col).type
+    payload = [f for f in schema if f.name != id_col]
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        default_gc()
+        return batch.append_column(
+            "_side", pa.array(np.zeros(batch.num_rows, np.int8)))
+
+    def tag_drop(batch: pa.Table) -> pa.Table:
+        default_gc()
+        n = batch.num_rows
+        cols = {}
+        for f in schema:
+            if f.name == id_col:
+                cols[f.name] = pa.compute.cast(batch["node"], id_type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        cols["_side"] = pa.array(np.ones(n, np.int8))
+        return pa.table(cols)
+
+    tagged = (docs.map_batches(tag_docs, batch_format="pyarrow")
+              .union(drop_tbl.map_batches(tag_drop,
+                                          batch_format="pyarrow")))
+
+    def anti(df) -> pa.Table:
+        drop = set(df.loc[df["_side"] == 1, id_col])
+        keep = df[(df["_side"] == 0) & ~df[id_col].isin(drop)]
+        return pa.Table.from_pandas(
+            keep.drop(columns=["_side"]), schema=schema,
+            preserve_index=False)
+
+    from ..shuffle import grouped_map
+    return grouped_map(tagged, id_col, anti, group_fn=False,
+                       out_schema=schema)
 
 
 def duplicate_spans(ds: "ray.data.Dataset", n: int = 16,

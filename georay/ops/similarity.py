@@ -832,6 +832,67 @@ def pq_fit(sample: np.ndarray, m: int = 8, n_codes: int = 16,
         for j in range(m)])
 
 
+def pq_fit_streamed(ds: "ray.data.Dataset", m: int = 8, n_codes: int = 16,
+                    sample_size: int = 512, iters: int = 10, seed: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> np.ndarray:
+    """Codebook fit whose SAMPLE SELECTION is distributed and
+    content-addressed (round 5): ``pq_fit`` itself is driver-side by
+    design (the codebook is tiny), but its input sample must not assume
+    the corpus fits anywhere.  Pass 1 ranks every row by
+    ``md5(str(id))`` (deterministic, layout-independent — the
+    ``deterministic_sample_per_key`` convention) with per-batch partial
+    top-``sample_size`` and the bounded combine-merge of the top-k
+    machinery, moving only (id, hash) pairs; pass 2 fetches just the
+    selected rows' vectors via a broadcast id filter.  Only
+    ``sample_size x dim`` floats ever reach the driver, at any corpus
+    size."""
+    import hashlib
+
+    import ray
+
+    def _hval(i) -> float:
+        # first 13 hex digits = 52 bits — exact in float64
+        return float(int(hashlib.md5(str(i).encode()).hexdigest()[:13],
+                         16))
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        default_gc()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        hv = np.array([_hval(i) for i in ids], dtype=np.float64)
+        sel = _tie_aware_topk(hv, ids.astype(np.int64),
+                              min(sample_size, len(ids)), ascending=True)
+        return pa.table({
+            "query_id": pa.array(np.zeros(len(sel), np.int64)),
+            id_col: pa.array(ids[sel].astype(np.int64), pa.int64()),
+            "hval": pa.array(hv[sel], pa.float64())})
+
+    ranked = _merge_topk(ds.map_batches(rank_partial,
+                                        batch_format="pyarrow"),
+                         "query_id", id_col, "hval", sample_size, 1,
+                         ascending=True).to_pandas()
+    sel_ids = np.sort(ranked[id_col].to_numpy(np.int64))
+    ref = ray.put(sel_ids)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        default_gc()
+        want = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False
+                                     ).astype(np.int64)
+        pos = np.searchsorted(want, ids)
+        hit = (pos < len(want)) & (want[np.minimum(pos, len(want) - 1)]
+                                   == ids)
+        return batch.filter(pa.array(hit)).select([id_col, vec_col])
+
+    rows = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    # fit-input order = the selection order (hash asc, id asc) — the
+    # Lloyd seeding indexes by row, so order must be layout-independent
+    rows["_h"] = [_hval(i) for i in rows[id_col]]
+    rows = rows.sort_values(["_h", id_col], kind="mergesort")
+    sample = np.array(rows[vec_col].tolist(), dtype=np.float64)
+    return pq_fit(sample, m=m, n_codes=n_codes, iters=iters, seed=seed)
+
+
 def _subspace_codes(v: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n, m) int64 code assignment, direct squared distance, first-min
     tie -> lowest code id (numpy argmin)."""

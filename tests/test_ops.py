@@ -749,3 +749,34 @@ def test_hash_weighted_keep_extremes(ray_session):
     kept = hash_weighted_keep(ds, "doc_id", "w").to_pandas()
     # weight 0 never survives, weight == scale always survives
     assert sorted(kept["doc_id"]) == list(range(25, 50))
+
+
+def test_keep_canonical_anti_join_plan_equivalence(ray_session):
+    """The co-partitioned anti-join plan (round 5, the at-scale path
+    when the drop set outgrows the object store) must produce exactly
+    the broadcast plan's survivor set — full rows, schema preserved —
+    and the auto threshold must route to it."""
+    import pyarrow as pa
+    import ray
+
+    from georay.ops.dedup import connected_components, keep_canonical
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(12)), pa.int64()),
+        "text": pa.array([f"t{i}" for i in range(12)], pa.string())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([1, 2, 7, 10], pa.int64()),
+        "id_b": pa.array([2, 3, 8, 11], pa.int64())}))
+    comp = connected_components(pairs, num_partitions=4)
+    bc = keep_canonical(docs, comp, plan="broadcast").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    aj = keep_canonical(docs, comp, plan="anti_join").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert bc.equals(aj)
+    assert list(aj.columns) == ["doc_id", "text"]
+    assert list(aj["doc_id"]) == [0, 1, 4, 5, 6, 7, 9, 10]
+    # auto with a zero budget must take the anti-join route and agree
+    auto = keep_canonical(docs, comp, plan="auto",
+                          max_broadcast_bytes=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert auto.equals(bc)
