@@ -197,6 +197,9 @@ def run_bench() -> dict:
 
     def timed(name: str, fn, max_reps: int | None = None):
         cap = max(reps, max_reps if max_reps is not None else reps + 2)
+        env_cap = os.environ.get("GEORAY_BENCH_MAXREPS")
+        if env_cap:
+            cap = max(reps, int(env_cap))
         times, steals, out = [], [], None
         for i in range(cap):
             _wait_quiet()
@@ -264,6 +267,12 @@ def run_bench() -> dict:
 
     n_match = timed("geocode_pipeline", geo_stage, max_reps=4)
 
+    # stage selection (GEORAY_BENCH_STAGES): the --scaling ladder only
+    # measures the geocode stage — skipping minhash/ann keeps a 3-level
+    # x best-of-2 ladder inside a practical wall-clock budget
+    stages = set(os.environ.get("GEORAY_BENCH_STAGES",
+                                "geocode,minhash,ann").split(","))
+
     # -- minhash dedup over corpus text spans --------------------------
     from georay.spans import explode_spans
     # address spans: mostly-unique strings with genuine near-dups (the
@@ -310,8 +319,10 @@ def run_bench() -> dict:
         pairs = minhash_lsh_pairs(span_ds(), threshold=0.8)
         return pairs.count()
 
-    n_pairs = timed("minhash_dedup", minhash_stage, max_reps=5)
-    n_spans = span_ds().count()  # outside the timed region
+    n_pairs, n_spans = -1, -1
+    if "minhash" in stages:
+        n_pairs = timed("minhash_dedup", minhash_stage, max_reps=5)
+        n_spans = span_ds().count()  # outside the timed region
 
     # -- ANN: brute cosine top-k over synthetic embeddings -------------
     n_vec = int(os.environ.get("GEORAY_BENCH_VECS", "200000"))
@@ -343,7 +354,9 @@ def run_bench() -> dict:
         ann = topk_cosine_brute(vecs, qmat, k=10)
         return ann.count()
 
-    n_ann = timed("ann_topk", ann_stage, max_reps=6)
+    n_ann = -1
+    if "ann" in stages:
+        n_ann = timed("ann_topk", ann_stage, max_reps=6)
 
     total = round(sum(queries.values()), 3)
     out = {
@@ -382,13 +395,23 @@ def run_scaling() -> dict:
     for cpus in (2, 8, 32):
         best = None
         for _ in range(repeats):
+            # steal gate between ladder levels (round 5): a whole-VM
+            # steal burst during the 2-CPU level is the single biggest
+            # distorter of the official 2->8 pair (it taxes the
+            # denominator); each subprocess's per-rep gate still applies
+            # inside, this one avoids LAUNCHING into a burst
+            _wait_quiet(max_wait=120.0)
             env = dict(os.environ)
             env["RAY_GRAFT_CPUS"] = str(cpus)
             env.setdefault("GEORAY_BENCH_DOCS", "360000")  # same input per level
             env.setdefault("GEORAY_BENCH_VECS", "20000")
-            # one in-run rep per stage: this loop already takes
-            # best-of-N whole subprocesses per level
-            env.setdefault("GEORAY_BENCH_REPS", "1")
+            # the ladder measures the geocode stage only — skipping
+            # minhash/ann keeps 3 levels x best-of-2 practical
+            env.setdefault("GEORAY_BENCH_STAGES", "geocode")
+            # two gated, steal-disclosed reps per subprocess (hard cap
+            # 2: a 2-CPU rep is ~150 s); best-of-N subprocesses on top
+            env.setdefault("GEORAY_BENCH_REPS", "2")
+            env.setdefault("GEORAY_BENCH_MAXREPS", "2")
             # cache-neutral measure (see run_bench comment): the result
             # memo's hit rate is a function of per-worker corpus share
             # at toy scale, so it is disabled for the N-vs-4N pair
@@ -416,6 +439,11 @@ def run_scaling() -> dict:
         "sf": results[32]["sf"],
         "num_cpus": 32,
         "docs_per_sec": thr,
+        "stage_reps": {str(c): results[c]["stage_reps"]["geocode_pipeline"]
+                       for c in (2, 8, 32)},
+        "stage_steal": {str(c):
+                        results[c]["stage_steal"]["geocode_pipeline"]
+                        for c in (2, 8, 32)},
         "speedup_2_to_8": round(thr[8] / thr[2], 3),
         "speedup_8_to_32": round(thr[32] / thr[8], 3),
         "efficiency_2_to_8": round(eff_2_8, 3),

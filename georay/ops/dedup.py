@@ -830,7 +830,8 @@ def _keep_canonical_anti_join(docs: "ray.data.Dataset",
 def duplicate_spans(ds: "ray.data.Dataset", n: int = 16,
                     id_col: str = "doc_id", text_col: str = "text",
                     sample_hex: int = 16,
-                    num_partitions: int | None = None) -> "ray.data.Dataset":
+                    num_partitions: int | None = None,
+                    digest_impl: str = "vec") -> "ray.data.Dataset":
     """Exact substring (duplicate n-gram span) detection, the
     suffix-array-style dedup signal from the published exact-substring
     dedup literature, expressed shuffle-wise: per-doc map emits one
@@ -859,7 +860,19 @@ def duplicate_spans(ds: "ray.data.Dataset", n: int = 16,
                                               short_docs_whole=False)
         if not len(st):
             return empty
-        dig = md5_digests_ranges(buf, st, ln)        # (total, 16)
+        if digest_impl == "hashlib":
+            # per-gram hashlib over buffer slices: the reference
+            # implementation the vectorized path is A/B'd against
+            # (scripts/bench_dup_spans.py) — bit-identical outputs
+            import hashlib as _hl
+            bb = buf.tobytes()
+            dig = np.empty((len(st), 16), dtype=np.uint8)
+            for i in range(len(st)):
+                o = int(st[i])
+                dig[i] = np.frombuffer(
+                    _hl.md5(bb[o:o + int(ln[i])]).digest(), np.uint8)
+        else:
+            dig = md5_digests_ranges(buf, st, ln)    # (total, 16)
         keep = (dig[:, 0] >> 4) < sample_hex         # first hex digit
         if not keep.any():
             return empty
