@@ -673,6 +673,24 @@ def test_duplicate_spans_sampling_subset(ray_session):
         g for g in full.gram_md5 if int(g[0], 16) < 4}
 
 
+def test_duplicate_spans_digest_impl_parity(ray_session):
+    # the vectorized md5 path and the per-gram hashlib reference must be
+    # bit-identical on the SAME buffer slices (the stage-level A/B in
+    # scripts/bench_dup_spans.py relies on this)
+    from georay.ops.dedup import duplicate_spans
+    shared = " ".join(f"p{i}" for i in range(24))
+    rows = [{"doc_id": 1, "text": shared + " alpha beta"},
+            {"doc_id": 2, "text": "gamma " + shared},
+            {"doc_id": 3, "text": " ".join(f"z{i}" for i in range(40))}]
+    ds = ray.data.from_items(rows)
+    cols = ["gram_md5", "n_docs", "n_occ", "min_id"]
+    vec = (duplicate_spans(ds, n=16, digest_impl="vec").to_pandas()
+           .sort_values(cols).reset_index(drop=True))
+    ref = (duplicate_spans(ds, n=16, digest_impl="hashlib").to_pandas()
+           .sort_values(cols).reset_index(drop=True))
+    assert vec[cols].equals(ref[cols])
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog sketch (ops/sketch.py)
 # ---------------------------------------------------------------------------
