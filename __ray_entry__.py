@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dup_pairs": e.q_emb_dup_pairs,
         "media_features": e.q_media_features,
         "media_frames": e.q_media_frames,
+        # round-5 late additions (after the 50-row window on purpose)
+        "geo_quad_compact": e.q_geo_quad_compact,
+        "geo_path_bearing": e.q_geo_path_bearing,
     }
 
 

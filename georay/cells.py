@@ -91,20 +91,33 @@ def hex_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
     return hex_cell(lat, lon, parent_res)
 
 
-def quad_cell(lat, lon, level: int = 18) -> np.ndarray:
-    """S2-style quadtree id: interleave bits of (x, y) grid coords at
-    ``level`` over the equirectangular projection; level in the top 6 bits.
-    Exact hierarchy: ``quad_parent`` strips one level."""
+def quad_xy(lat, lon, level: int = 18) -> tuple[np.ndarray, np.ndarray]:
+    """Equirectangular (x, y) grid coordinates at ``level`` (clipped)."""
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
     n = np.int64(1) << np.int64(level)
     x = np.clip(((lon + 180.0) / 360.0 * n).astype(np.int64), 0, int(n) - 1)
     y = np.clip(((lat + 90.0) / 180.0 * n).astype(np.int64), 0, int(n) - 1)
+    return x, y
+
+
+def quad_from_xy(x: np.ndarray, y: np.ndarray, level: int) -> np.ndarray:
+    """Interleave grid coords into the quadtree id (level in top 6 bits)."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
     code = np.zeros(len(x) if x.ndim else (), dtype=np.int64)
     for b in range(level):
         code |= ((x >> np.int64(b)) & np.int64(1)) << np.int64(2 * b)
         code |= ((y >> np.int64(b)) & np.int64(1)) << np.int64(2 * b + 1)
     return (np.int64(level) << np.int64(56)) | code
+
+
+def quad_cell(lat, lon, level: int = 18) -> np.ndarray:
+    """S2-style quadtree id: interleave bits of (x, y) grid coords at
+    ``level`` over the equirectangular projection; level in the top 6 bits.
+    Exact hierarchy: ``quad_parent`` strips one level."""
+    x, y = quad_xy(lat, lon, level)
+    return quad_from_xy(x, y, level)
 
 
 _GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
@@ -145,6 +158,41 @@ def quad_parent(cell: np.ndarray) -> np.ndarray:
     level = (cell >> np.int64(56)).astype(np.int64)
     code = cell & np.int64((1 << 56) - 1)
     return ((level - 1) << np.int64(56)) | (code >> np.int64(2))
+
+
+def compact_cells(cells: np.ndarray, stop_level: int = 0) -> np.ndarray:
+    """Minimal mixed-level cover of the same area: repeatedly replace
+    any 4 complete siblings with their parent (H3's ``compact`` /
+    S2's ``S2CellUnion::Normalize`` semantics on the quadtree ids),
+    never promoting ABOVE ``stop_level`` (a promotion from
+    ``stop_level`` to ``stop_level - 1`` is suppressed, so a
+    distributed caller can compact level-``stop_level`` subtrees
+    independently and finish the bounded residue in one task).
+
+    Input cells must be non-overlapping (all one level, or an existing
+    disjoint cover); duplicates are deduped.  Pure int64 bit math —
+    mirrored 1:1 by the unrolled SQL oracle (entrylib
+    geo_quad_compact)."""
+    cells = np.unique(np.asarray(cells, dtype=np.int64))
+    if not len(cells):
+        return cells
+    mask = np.int64((1 << 56) - 1)
+    top = int((cells >> np.int64(56)).max())
+    for lvl in range(top, stop_level, -1):
+        at = (cells >> np.int64(56)) == lvl
+        cur = cells[at]
+        if len(cur) < 4:
+            continue
+        par = ((np.int64(lvl - 1) << np.int64(56))
+               | ((cur & mask) >> np.int64(2)))
+        uniq, counts = np.unique(par, return_counts=True)
+        full = uniq[counts == 4]
+        if not len(full):
+            continue
+        promoted = np.isin(par, full)
+        cells = np.unique(np.concatenate(
+            [cells[~at], cur[~promoted], full]))
+    return cells
 
 
 def square_cell(lat, lon, pitch_deg: float = SQUARE_CELL_DEG) -> np.ndarray:

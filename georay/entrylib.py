@@ -242,6 +242,46 @@ def q_geo_quad_assign(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def q_geo_quad_compact(sf_dir: str):
+    """Minimal mixed-level quadtree cover (H3 ``compact`` / S2
+    ``S2CellUnion::Normalize``) of the gazetteer's ±1-cell level-12
+    coverage mask — the operator that turns a billion-cell coverage
+    mask into a shippable tile set.  Scale plan: cells co-partition by
+    level-6 subtree ancestor (a 4-sibling merge below level 6 never
+    crosses that boundary), compact locally, and the ≤4096-id residue
+    finishes in one task (tiles.quad_compact).  Oracle = the same
+    coverage mask promoted level-by-level in SQL: 12 unrolled
+    complete-sibling steps over the identical int64 bit math."""
+    from .cells import quad_from_xy, quad_xy
+    from .tiles import quad_compact
+    d = ensure_synth(sf_dir)
+    level = 12
+    n = (1 << level) - 1
+
+    def cover(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        x, y = quad_xy(lat, lon, level)
+        xs, ys = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xs.append(np.clip(x + dx, 0, n))
+                ys.append(np.clip(y + dy, 0, n))
+        cell = quad_from_xy(np.concatenate(xs), np.concatenate(ys), level)
+        return pa.table({"cell": pa.array(cell)})
+
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["lat", "lon"])
+    out = quad_compact(ds.map_batches(cover, batch_format="pyarrow"))
+
+    def with_level(b: pa.Table) -> pa.Table:
+        c = b["cell"].to_numpy(zero_copy_only=False)
+        return pa.table({"cell": b["cell"],
+                         "level": pa.array(c >> np.int64(56))})
+
+    return out.map_batches(with_level, batch_format="pyarrow")
+
+
 def q_geo_idw(sf_dir: str):
     """Inverse-distance-weighted interpolation of street house-number
     density onto the occupied square-grid cell centers (radius 1 km):
@@ -481,6 +521,67 @@ def q_geo_path_length(sf_dir: str):
             "post_code": pa.array(g.index.to_numpy(), pa.string()),
             "n_segments": pa.array(g["size"].to_numpy(np.int64)),
             "path_ukm": pa.array(g["sum"].to_numpy(np.int64))})
+
+    return grouped_map(streets, "post_code", per_partition,
+                       group_fn=False)
+
+
+def q_geo_path_bearing(sf_dir: str):
+    """Per-postcode heading statistics over the same rank-26 trajectory
+    as geo_path_length: initial great-circle bearing per leg
+    (atan2 formulation), floored to integer micro-degrees so the
+    per-key sums are integer-exact against the SQL LAG window oracle;
+    ``east_legs`` counts legs heading into (0°, 180°).  Same scale
+    shape as path_length: ONE co-partitioned shuffle, in-partition
+    sort, vectorized trig with group-boundary masking."""
+    from .shuffle import grouped_map
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["post_code", "place_id", "lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([("post_code", pa.string()),
+                            ("n_legs", pa.int64()),
+                            ("bearing_usum", pa.int64()),
+                            ("east_legs", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["post_code", "place_id"], kind="mergesort")
+        pc_arr = df["post_code"].to_numpy()
+        lat = df["lat"].to_numpy(np.float64)
+        lon = df["lon"].to_numpy(np.float64)
+        # EXACT mirror of the SQL rendering: radians() applied to the
+        # same operands, atan2(y, x) with the same expression trees
+        phi1 = np.radians(lat[:-1])
+        phi2 = np.radians(lat[1:])
+        dl = np.radians(lon[1:] - lon[:-1])
+        deg = np.degrees(np.arctan2(
+            np.sin(dl) * np.cos(phi2),
+            np.cos(phi1) * np.sin(phi2)
+            - np.sin(phi1) * np.cos(phi2) * np.cos(dl)))
+        deg = np.where(deg < 0, deg + 360.0, deg)
+        ub = np.floor(1e6 * deg).astype(np.int64)
+        same = pc_arr[:-1] == pc_arr[1:]
+        if not same.any():
+            return out_schema.empty_table()
+        s = pd.DataFrame({
+            "post_code": pc_arr[:-1][same],
+            "b": ub[same],
+            "east": ((ub[same] > 0)
+                     & (ub[same] < 180_000_000)).astype(np.int64)})
+        g = s.groupby("post_code", sort=False).agg(
+            n_legs=("b", "size"), bearing_usum=("b", "sum"),
+            east_legs=("east", "sum"))
+        return pa.table({
+            "post_code": pa.array(g.index.to_numpy(), pa.string()),
+            "n_legs": pa.array(g["n_legs"].to_numpy(np.int64)),
+            "bearing_usum": pa.array(g["bearing_usum"].to_numpy(np.int64)),
+            "east_legs": pa.array(g["east_legs"].to_numpy(np.int64))})
 
     return grouped_map(streets, "post_code", per_partition,
                        group_fn=False)
@@ -3065,6 +3166,49 @@ def _hex_from_sql(src: str, keys: str, res: int = 9) -> str:
         from he)"""
 
 
+def _quad_compact_sql(gaz: str, level: int = 12, stop: int = 0) -> str:
+    """Unrolled quadtree compaction oracle: the ±1-cell coverage mask at
+    ``level``, then one complete-sibling promotion step per level down
+    to ``stop`` (cells.compact_cells' loop, written as SQL CTEs; parent
+    = strip the level byte, shift the code right two bits)."""
+    n = 1 << level
+    mask = (1 << 56) - 1
+    parts = [f"""
+        with pts as materialized (select
+            least(greatest(cast(floor((lon+180.0)/360.0*{n}) as bigint),
+                  0), {n - 1}) x,
+            least(greatest(cast(floor((lat+90.0)/180.0*{n}) as bigint),
+                  0), {n - 1}) y
+          from {gaz}),
+        cov as materialized (select distinct
+            least(greatest(x + dx, 0), {n - 1}) xx,
+            least(greatest(y + dy, 0), {n - 1}) yy
+          from pts, (values (-1), (0), (1)) dxs(dx),
+               (values (-1), (0), (1)) dys(dy)),
+        w{level} as materialized (select distinct
+            (cast({level} as bigint) << 56)
+             | cast(list_sum([(((xx >> i) & 1) << (2*i))
+                 + (((yy >> i) & 1) << (2*i+1))
+                 for i in range(0,{level})]) as bigint) cell
+          from cov)"""]
+    for lv in range(level, stop, -1):
+        parts.append(f""",
+        p{lv} as materialized (select ((cast({lv - 1} as bigint) << 56)
+                           | ((cell & {mask}) >> 2)) par
+                  from w{lv} where (cell >> 56) = {lv}
+                  group by 1 having count(*) = 4),
+        w{lv - 1} as materialized (select par as cell from p{lv}
+                      union
+                      select cell from w{lv}
+                      where (cell >> 56) <> {lv}
+                         or ((cast({lv - 1} as bigint) << 56)
+                             | ((cell & {mask}) >> 2))
+                            not in (select par from p{lv}))""")
+    parts.append(f"""
+        select cell, cast(cell >> 56 as bigint) as level from w{stop}""")
+    return "".join(parts)
+
+
 def _quad_from_sql(src: str, keys: str, level: int = 18) -> str:
     """Subquery computing the quadkey cell (cells.py quad_cell — same
     rendering as the geo_quad_assign oracle) for rows of ``src`` with
@@ -3679,6 +3823,31 @@ def build_oracle_sql() -> dict[str, str]:
             select post_code, count(*) as n_segments,
                    cast(sum(d) as bigint) as path_ukm
             from seg group by post_code""",
+        "geo_path_bearing": f"""
+            with s as (select cast(post_code as varchar) post_code,
+                              place_id, lat, lon
+                       from {gaz} where place_rank = 26),
+            o as (select post_code, lat, lon,
+                         lag(lat) over w plat, lag(lon) over w plon
+                  from s window w as (partition by post_code
+                                      order by place_id)),
+            leg as (select post_code,
+                      degrees(atan2(
+                        sin(radians(lon-plon))*cos(radians(lat)),
+                        cos(radians(plat))*sin(radians(lat))
+                        - sin(radians(plat))*cos(radians(lat))
+                          *cos(radians(lon-plon)))) deg
+                    from o where plat is not null),
+            ub as (select post_code,
+                     cast(floor(1e6 * (case when deg < 0 then deg + 360
+                                       else deg end)) as bigint) b
+                   from leg)
+            select post_code, count(*) as n_legs,
+                   cast(sum(b) as bigint) as bearing_usum,
+                   cast(count(*) filter (where b > 0
+                                         and b < 180000000) as bigint)
+                     as east_legs
+            from ub group by post_code""",
         "geo_nearest_join": f"""
             with s as (select place_id, lat, lon from {gaz}
                        where place_rank = 26),
@@ -3713,6 +3882,7 @@ def build_oracle_sql() -> dict[str, str]:
                    + ((((y>>1) >> i) & 1) << (2*i+1))
                    for i in range(0,17)]) as bigint) as qparent
             from p""",
+        "geo_quad_compact": _quad_compact_sql(gaz),
         "geo_idw": f"""
             with s as (select place_id, lat, lon,
                               case when house_numbers = '' then 0

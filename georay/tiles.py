@@ -508,3 +508,73 @@ def idw_join(left: "ray.data.Dataset", right: "ray.data.Dataset",
         batch_format="pyarrow")
     return parts.groupby("left_id").aggregate(
         Sum("num", alias_name="num"), Sum("den", alias_name="den"))
+
+
+_COMPACT_SCHEMA = pa.schema([("cell", pa.int64())])
+
+
+def quad_compact(ds: "ray.data.Dataset", cell_col: str = "cell",
+                 group_level: int = 6,
+                 num_partitions: int | None = None) -> "ray.data.Dataset":
+    """Compact a (possibly duplicated) set of quadtree cell ids to the
+    minimal mixed-level cover of the same area — H3 ``compact`` / S2
+    ``S2CellUnion::Normalize`` as a Ray Data op (the standard way to
+    turn a billion-cell coverage mask into a shippable tile set).
+
+    Plan (scale story): a merge of 4 siblings below level
+    ``group_level`` can never cross a level-``group_level`` subtree
+    boundary, so ONE hash shuffle co-partitions cells by their
+    level-``group_level`` ancestor and each partition compacts its
+    subtrees locally (vectorized, ``cells.compact_cells``).  What's
+    left at levels <= ``group_level`` is globally bounded by
+    4^``group_level`` ids (<= 4096 at the default), so the residue is
+    finished in one final task — no driver-side loop, no global
+    fixpoint iteration.  Input cells must be non-overlapping (one
+    level, or an existing disjoint cover); duplicates co-locate with
+    their subtree and are deduped there.
+    """
+    from .cells import compact_cells
+    from .shuffle import grouped_map
+
+    g = np.int64(group_level)
+    code_mask = np.int64((1 << 56) - 1)
+
+    def add_anc(batch: pa.Table) -> pa.Table:
+        c = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lvl = c >> np.int64(56)
+        drop = np.maximum(lvl - g, 0)
+        anc = np.where(
+            lvl <= g, c,
+            (g << np.int64(56)) | ((c & code_mask) >> (2 * drop)))
+        return pa.table({"cell": pa.array(c), "anc": pa.array(anc)})
+
+    def compact_part(df: pd.DataFrame) -> pa.Table:
+        if not len(df):
+            return _COMPACT_SCHEMA.empty_table()
+        out = compact_cells(df["cell"].to_numpy(), stop_level=group_level)
+        return pa.table({"cell": pa.array(out, pa.int64())})
+
+    local = grouped_map(ds.map_batches(add_anc, batch_format="pyarrow"),
+                        "anc", compact_part,
+                        num_partitions=num_partitions, group_fn=False)
+
+    def split(keep_coarse: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            c = batch["cell"].to_numpy(zero_copy_only=False)
+            m = (c >> np.int64(56)) <= g
+            return batch.filter(pa.array(m if keep_coarse else ~m))
+        return fn
+
+    fine = local.map_batches(split(False), batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _COMPACT_SCHEMA.empty_table()
+        out = compact_cells(batch["cell"].to_numpy(zero_copy_only=False),
+                            stop_level=0)
+        return pa.table({"cell": pa.array(out, pa.int64())})
+
+    # the coarse residue is <= 4^group_level ids TOTAL — one task
+    coarse = (local.map_batches(split(True), batch_format="pyarrow")
+              .repartition(1).map_batches(finish, batch_format="pyarrow"))
+    return fine.union(coarse)

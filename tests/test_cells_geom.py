@@ -102,3 +102,82 @@ def test_geohash_canonical_vectors():
     a = geohash([50.85030], [4.35170], 7)[0]
     b = geohash([50.85031], [4.35171], 7)[0]
     assert a[:6] == b[:6]
+
+
+def test_compact_cells_kernel():
+    import numpy as np
+    from georay.cells import compact_cells, quad_from_xy, quad_parent
+
+    # a complete 2x2 sibling block at level 12 promotes to its parent;
+    # an incomplete block (3 of 4) stays put
+    full = quad_from_xy(np.array([10, 11, 10, 11]),
+                        np.array([20, 20, 21, 21]), 12)
+    partial = quad_from_xy(np.array([100, 101, 100]),
+                           np.array([200, 200, 201]), 12)
+    out = compact_cells(np.concatenate([full, partial]))
+    parent = quad_parent(full[:1])[0]
+    assert parent in out and not set(full) & set(out)
+    assert set(partial) <= set(out)
+    assert len(out) == 1 + 3
+
+    # cascading: all 16 grandchildren of one level-10 cell collapse to it
+    xs, ys = np.meshgrid(np.arange(4, 8), np.arange(12, 16))
+    deep = quad_from_xy(xs.ravel(), ys.ravel(), 12)
+    out2 = compact_cells(deep)
+    assert len(out2) == 1 and int(out2[0]) >> 56 == 10
+
+    # stop_level halts promotion: same 16 cells stop at level 11
+    out3 = compact_cells(deep, stop_level=11)
+    assert len(out3) == 4 and all((c >> 56) == 11 for c in out3)
+
+    # duplicates dedup; empty input passes through
+    assert len(compact_cells(np.concatenate([full, full]))) == 1
+    assert len(compact_cells(np.array([], dtype=np.int64))) == 0
+
+
+def test_quad_compact_distributed_matches_local(ray_session):
+    import numpy as np
+    import ray
+
+    from georay.cells import compact_cells, quad_from_xy
+    from georay.tiles import quad_compact
+
+    rng = np.random.RandomState(5)
+    # clustered coverage mask spanning several level-6 subtrees
+    cx = rng.randint(0, 1 << 12, size=12)
+    cy = rng.randint(0, 1 << 12, size=12)
+    xs, ys = [], []
+    for x0, y0 in zip(cx, cy):
+        gx, gy = np.meshgrid(np.arange(x0, min(x0 + 6, 1 << 12)),
+                             np.arange(y0, min(y0 + 6, 1 << 12)))
+        xs.append(gx.ravel())
+        ys.append(gy.ravel())
+    cells = quad_from_xy(np.concatenate(xs), np.concatenate(ys), 12)
+    # duplicates on purpose: the op dedups inside the subtree partition
+    cells = np.concatenate([cells, cells[::3]])
+
+    import pyarrow as pa
+    ds = ray.data.from_arrow(pa.table({"cell": pa.array(cells)})
+                             ).repartition(5)
+    got = np.sort(quad_compact(ds).to_pandas()["cell"].to_numpy())
+    want = compact_cells(cells)
+    assert np.array_equal(got, want)
+
+
+def test_path_bearing_pinned(ray_session):
+    # due east on the equator = 90°, due north = 0°, due south = 180°
+    import numpy as np
+
+    def bearing(lat1, lon1, lat2, lon2):
+        p1, p2 = np.radians(lat1), np.radians(lat2)
+        dl = np.radians(lon2 - lon1)
+        deg = np.degrees(np.arctan2(
+            np.sin(dl) * np.cos(p2),
+            np.cos(p1) * np.sin(p2)
+            - np.sin(p1) * np.cos(p2) * np.cos(dl)))
+        return deg + 360.0 if deg < 0 else deg
+
+    assert bearing(0.0, 0.0, 0.0, 1.0) == 90.0
+    assert bearing(0.0, 0.0, 1.0, 0.0) == 0.0
+    assert bearing(1.0, 0.0, 0.0, 0.0) == 180.0
+    assert bearing(0.0, 1.0, 0.0, 0.0) == 270.0
