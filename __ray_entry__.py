@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 late additions (after the 50-row window on purpose)
         "geo_quad_compact": e.q_geo_quad_compact,
         "geo_path_bearing": e.q_geo_path_bearing,
+        "geo_quad_polyfill": e.q_geo_quad_polyfill,
     }
 
 

@@ -1482,6 +1482,67 @@ def q_geo_raster_polygons(sf_dir: str):
     return rasterize_polygons(bnds)
 
 
+def q_geo_quad_polyfill(sf_dir: str):
+    """Per-admin-polygon minimal quadtree cover (the geofence pattern:
+    polyfill at level 12, then H3-compact-style promotion): each
+    polygon's bbox-clipped cell-center grid is tested with the
+    bit-verified even-odd kernel and compacted LOCALLY (a cover is
+    polygon-local by construction, so no shuffle at all — one task per
+    boundary batch; planet-scale polygons would be split by bbox tiles
+    first, the rasterize_polygons caveat).  Oracle = per-key unrolled
+    complete-sibling promotion over the same crossing SQL."""
+    from .cells import compact_cells, quad_from_xy
+    from .geom import point_in_polygon
+    d = ensure_synth(sf_dir)
+    level = 12
+    n = 1 << level
+    dlat, dlon = 180.0 / n, 360.0 / n   # exact binary fractions
+
+    empty = pa.table({"bnd_idx": pa.array([], pa.int64()),
+                      "cell": pa.array([], pa.int64()),
+                      "level": pa.array([], pa.int64())})
+
+    def fill(batch: pa.Table) -> pa.Table:
+        out_k, out_c = [], []
+        bidx = batch["bnd_idx"].to_numpy(zero_copy_only=False)
+        rlats = batch["ring_lat"].to_pylist()
+        rlons = batch["ring_lon"].to_pylist()
+        for k, la, lo in zip(bidx, rlats, rlons):
+            la = np.asarray(la, np.float64)
+            lo = np.asarray(lo, np.float64)
+            x0 = int(np.clip(np.floor((lo.min() + 180.0) / 360.0 * n),
+                             0, n - 1))
+            x1 = int(np.clip(np.floor((lo.max() + 180.0) / 360.0 * n),
+                             0, n - 1))
+            y0 = int(np.clip(np.floor((la.min() + 90.0) / 180.0 * n),
+                             0, n - 1))
+            y1 = int(np.clip(np.floor((la.max() + 90.0) / 180.0 * n),
+                             0, n - 1))
+            gx, gy = np.meshgrid(np.arange(x0, x1 + 1, dtype=np.int64),
+                                 np.arange(y0, y1 + 1, dtype=np.int64))
+            gx, gy = gx.ravel(), gy.ravel()
+            clat = -90.0 + (gy + 0.5) * dlat
+            clon = -180.0 + (gx + 0.5) * dlon
+            inside = point_in_polygon(clat, clon, la, lo)
+            if not inside.any():
+                continue
+            cells = compact_cells(
+                quad_from_xy(gx[inside], gy[inside], level))
+            out_k.append(np.full(len(cells), k, dtype=np.int64))
+            out_c.append(cells)
+        if not out_k:
+            return empty
+        kk = np.concatenate(out_k)
+        cc = np.concatenate(out_c)
+        return pa.table({"bnd_idx": pa.array(kk), "cell": pa.array(cc),
+                         "level": pa.array(cc >> np.int64(56))})
+
+    bnds = ray.data.read_parquet(
+        os.path.join(d, "boundaries.parquet"),
+        columns=["bnd_idx", "ring_lat", "ring_lon"])
+    return bnds.map_batches(fill, batch_format="pyarrow")
+
+
 def q_geo_raster_vectorize(sf_dir: str):
     """Raster -> vector roundtrip: density raster, threshold >= 2,
     run-length polygonization into horizontal segments (rows
@@ -3209,6 +3270,79 @@ def _quad_compact_sql(gaz: str, level: int = 12, stop: int = 0) -> str:
     return "".join(parts)
 
 
+def _quad_compact_keyed_sql(key: str, level: int, stop: int) -> str:
+    """Per-``key`` complete-sibling promotion steps (cells.compact_cells
+    run independently per key): appends CTEs w{level}..w{stop} to a
+    query whose CTE ``src`` has columns (``key``, cell).  Returned
+    string starts with a comma (continues an open WITH clause)."""
+    mask = (1 << 56) - 1
+    parts = [f""",
+        w{level} as materialized (select distinct {key}, cell from src)"""]
+    for lv in range(level, stop, -1):
+        parts.append(f""",
+        p{lv} as materialized (select {key},
+                    ((cast({lv - 1} as bigint) << 56)
+                      | ((cell & {mask}) >> 2)) par
+                  from w{lv} where (cell >> 56) = {lv}
+                  group by 1, 2 having count(*) = 4),
+        w{lv - 1} as materialized (select {key}, par as cell from p{lv}
+                  union
+                  select w.{key}, w.cell from w{lv} w
+                  where (w.cell >> 56) <> {lv}
+                     or not exists (select 1 from p{lv} p
+                          where p.{key} = w.{key}
+                            and p.par = ((cast({lv - 1} as bigint) << 56)
+                                         | ((w.cell & {mask}) >> 2))))""")
+    return "".join(parts)
+
+
+def _quad_polyfill_sql(bnd: str, level: int = 12) -> str:
+    """Per-polygon compacted quad cover: bbox-clipped cell-center grid,
+    even-odd crossing (the geo_raster_polygons rendering), then the
+    keyed promotion chain."""
+    n = 1 << level
+    dlat, dlon = 180.0 / n, 360.0 / n
+    return f"""
+        with b as (select bnd_idx, ring_lat, ring_lon,
+            least(greatest(cast(floor((list_min(ring_lon)+180.0)
+                  /360.0*{n}) as bigint), 0), {n - 1}) x0,
+            least(greatest(cast(floor((list_max(ring_lon)+180.0)
+                  /360.0*{n}) as bigint), 0), {n - 1}) x1,
+            least(greatest(cast(floor((list_min(ring_lat)+90.0)
+                  /180.0*{n}) as bigint), 0), {n - 1}) y0,
+            least(greatest(cast(floor((list_max(ring_lat)+90.0)
+                  /180.0*{n}) as bigint), 0), {n - 1}) y1
+          from {bnd}),
+        gx as (select bnd_idx, ring_lat, ring_lon, y0, y1,
+                      unnest(range(x0, x1 + 1)) x from b),
+        g as (select bnd_idx, ring_lat, ring_lon, x,
+                     unnest(range(y0, y1 + 1)) y from gx),
+        c as (select bnd_idx, ring_lat, ring_lon, x, y,
+                     -90.0 + (cast(y as double) + 0.5) * {dlat!r} clat,
+                     -180.0 + (cast(x as double) + 0.5) * {dlon!r} clon
+              from g),
+        hit as materialized (select bnd_idx, x, y from c
+              where (list_sum([case
+                       when (case when ring_lat[i] > clat
+                                  then 1 else 0 end)
+                         <> (case when ring_lat[i+1] > clat
+                                  then 1 else 0 end)
+                        and ring_lat[i+1] <> ring_lat[i]
+                        and clon < (ring_lon[i+1]-ring_lon[i])
+                            * (clat-ring_lat[i])
+                            / (ring_lat[i+1]-ring_lat[i]) + ring_lon[i]
+                       then 1 else 0 end
+                       for i in range(1, len(ring_lat))]) % 2) = 1),
+        src as (select bnd_idx,
+                  (cast({level} as bigint) << 56)
+                   | cast(list_sum([(((x >> i) & 1) << (2*i))
+                       + (((y >> i) & 1) << (2*i+1))
+                       for i in range(0,{level})]) as bigint) cell
+                from hit){_quad_compact_keyed_sql("bnd_idx", level, 0)}
+        select bnd_idx, cell, cast(cell >> 56 as bigint) as level
+        from w0"""
+
+
 def _quad_from_sql(src: str, keys: str, level: int = 18) -> str:
     """Subquery computing the quadkey cell (cells.py quad_cell — same
     rendering as the geo_quad_assign oracle) for rows of ``src`` with
@@ -3883,6 +4017,9 @@ def build_oracle_sql() -> dict[str, str]:
                    for i in range(0,17)]) as bigint) as qparent
             from p""",
         "geo_quad_compact": _quad_compact_sql(gaz),
+        "geo_quad_polyfill": _quad_polyfill_sql(
+            f"(select bnd_idx, ring_lat, ring_lon "
+            f"from read_parquet('{s01}/boundaries.parquet'))"),
         "geo_idw": f"""
             with s as (select place_id, lat, lon,
                               case when house_numbers = '' then 0

@@ -181,3 +181,30 @@ def test_path_bearing_pinned(ray_session):
     assert bearing(0.0, 0.0, 1.0, 0.0) == 0.0
     assert bearing(1.0, 0.0, 0.0, 0.0) == 180.0
     assert bearing(0.0, 1.0, 0.0, 0.0) == 270.0
+
+
+def test_quad_polyfill_roundtrip(ray_session):
+    # the compacted cover, expanded back to level 12, must equal the
+    # raw inside-cell set exactly (disjoint, lossless)
+    import numpy as np
+
+    from georay.cells import compact_cells, quad_from_xy
+
+    def uncompact(cells, level):
+        out = []
+        for c in np.asarray(cells, dtype=np.int64):
+            lv = int(c) >> 56
+            code = int(c) & ((1 << 56) - 1)
+            d = level - lv
+            base = code << (2 * d)
+            out.extend((level << 56) | (base + k) for k in range(4 ** d))
+        return np.sort(np.array(out, dtype=np.int64))
+
+    # an 8x8 block plus a ragged edge: mixed promotion depths
+    xs, ys = np.meshgrid(np.arange(16, 24), np.arange(32, 40))
+    gx = np.concatenate([xs.ravel(), np.array([24, 24, 25])])
+    gy = np.concatenate([ys.ravel(), np.array([32, 33, 32])])
+    raw = quad_from_xy(gx, gy, 12)
+    comp = compact_cells(raw)
+    assert len(comp) < len(raw)
+    assert np.array_equal(uncompact(comp, 12), np.sort(raw))
