@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_quad_compact": e.q_geo_quad_compact,
         "geo_path_bearing": e.q_geo_path_bearing,
         "geo_quad_polyfill": e.q_geo_quad_polyfill,
+        "geo_quad_roundtrip": e.q_geo_quad_roundtrip,
     }
 
 

@@ -282,6 +282,38 @@ def q_geo_quad_compact(sf_dir: str):
     return out.map_batches(with_level, batch_format="pyarrow")
 
 
+def q_geo_quad_roundtrip(sf_dir: str):
+    """Compact→uncompact roundtrip at query level: the gazetteer's
+    ±1-cell level-12 coverage mask goes through the FULL distributed
+    compaction (tiles.quad_compact) and back out through the map-side
+    expansion (tiles.quad_uncompact) — the result must equal the raw
+    mask exactly, and the ORACLE is just the mask itself in SQL (no
+    promotion chain), so any loss or overlap introduced by either
+    direction hash-mismatches."""
+    from .cells import quad_from_xy, quad_xy
+    from .tiles import quad_compact, quad_uncompact
+    d = ensure_synth(sf_dir)
+    level = 12
+    n = (1 << level) - 1
+
+    def cover(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        x, y = quad_xy(lat, lon, level)
+        xs, ys = [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                xs.append(np.clip(x + dx, 0, n))
+                ys.append(np.clip(y + dy, 0, n))
+        cell = quad_from_xy(np.concatenate(xs), np.concatenate(ys), level)
+        return pa.table({"cell": pa.array(cell)})
+
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["lat", "lon"])
+    comp = quad_compact(ds.map_batches(cover, batch_format="pyarrow"))
+    return quad_uncompact(comp, level)
+
+
 def q_geo_idw(sf_dir: str):
     """Inverse-distance-weighted interpolation of street house-number
     density onto the occupied square-grid cell centers (radius 1 km):
@@ -4017,6 +4049,10 @@ def build_oracle_sql() -> dict[str, str]:
                    for i in range(0,17)]) as bigint) as qparent
             from p""",
         "geo_quad_compact": _quad_compact_sql(gaz),
+        # roundtrip oracle is the RAW mask (stop=level renders zero
+        # promotion steps): compact->uncompact must reproduce it exactly
+        "geo_quad_roundtrip":
+            f"select cell from ({_quad_compact_sql(gaz, 12, 12)})",
         "geo_quad_polyfill": _quad_polyfill_sql(
             f"(select bnd_idx, ring_lat, ring_lon "
             f"from read_parquet('{s01}/boundaries.parquet'))"),

@@ -578,3 +578,33 @@ def quad_compact(ds: "ray.data.Dataset", cell_col: str = "cell",
     coarse = (local.map_batches(split(True), batch_format="pyarrow")
               .repartition(1).map_batches(finish, batch_format="pyarrow"))
     return fine.union(coarse)
+
+
+def quad_uncompact(ds: "ray.data.Dataset", level: int,
+                   cell_col: str = "cell") -> "ray.data.Dataset":
+    """Expand a mixed-level quadtree cover to uniform ``level`` cells
+    (H3 ``uncompact``): each cell fans out to its 4^(level-lvl)
+    descendants.  Pure map-side (no shuffle); vectorized by expansion
+    depth so a batch costs O(output cells), not a Python loop per id.
+    Cells already at ``level`` pass through; cells DEEPER than
+    ``level`` raise (a cover being uncompacted must be at or above the
+    target resolution)."""
+    code_mask = np.int64((1 << 56) - 1)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        c = batch[cell_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(c):
+            return pa.table({"cell": pa.array([], pa.int64())})
+        lvl = (c >> np.int64(56)).astype(np.int64)
+        if (lvl > level).any():
+            raise ValueError(f"cover contains cells deeper than {level}")
+        out = []
+        tag = np.int64(level) << np.int64(56)
+        for d in np.unique(level - lvl):
+            base = (c[level - lvl == d] & code_mask) << np.int64(2 * d)
+            kids = (base[:, None]
+                    + np.arange(4 ** d, dtype=np.int64)[None, :])
+            out.append(tag | kids.ravel())
+        return pa.table({"cell": pa.array(np.concatenate(out))})
+
+    return ds.map_batches(expand, batch_format="pyarrow")

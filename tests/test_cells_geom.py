@@ -208,3 +208,27 @@ def test_quad_polyfill_roundtrip(ray_session):
     comp = compact_cells(raw)
     assert len(comp) < len(raw)
     assert np.array_equal(uncompact(comp, 12), np.sort(raw))
+
+
+def test_quad_uncompact_op(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray
+
+    from georay.cells import quad_from_xy, quad_parent
+    from georay.tiles import quad_uncompact
+
+    child = quad_from_xy(np.array([8]), np.array([12]), 12)
+    parent = quad_parent(child)          # level 11: expands to 4 kids
+    gp = quad_parent(parent)             # level 10: expands to 16
+    ds = ray.data.from_arrow(pa.table({"cell": pa.array(
+        np.concatenate([child, parent, gp]))}))
+    out = quad_uncompact(ds, 12).to_pandas()["cell"].to_numpy()
+    assert len(out) == 1 + 4 + 16
+    assert all((c >> 56) == 12 for c in out)
+    assert child[0] in out
+
+    deeper = ray.data.from_arrow(pa.table({"cell": pa.array(child)}))
+    with pytest.raises(Exception):
+        quad_uncompact(deeper, 11).to_pandas()
