@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": e.q_doc_fingerprint,
         "doc_vocab_topk": e.q_doc_vocab_topk,
         "doc_hll_registers": e.q_doc_hll_registers,
+        "doc_cms_registers": e.q_doc_cms_registers,
         "doc_sample_per_lang": e.q_doc_sample_per_lang,
         "doc_split": e.q_doc_split,
         "doc_importance_sample": e.q_doc_importance_sample,
@@ -158,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_path_bearing": e.q_geo_path_bearing,
         "geo_quad_polyfill": e.q_geo_quad_polyfill,
         "geo_quad_roundtrip": e.q_geo_quad_roundtrip,
+        "geo_hilbert_index": e.q_geo_hilbert_index,
     }
 
 

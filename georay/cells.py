@@ -237,3 +237,67 @@ def hex_kring(cell: np.ndarray, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
     nbr = ((np.repeat(res, m).reshape(-1, m) << np.int64(56))
            | (_zigzag(nq) << np.int64(28)) | _zigzag(nr))
     return np.repeat(cell, m), nbr.ravel()
+
+
+def hilbert_from_xy(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Hilbert-curve distance of grid coords at ``order`` bits per axis
+    (the classic xy2d bit loop, vectorized: one pass per bit over the
+    whole array).  Unlike the Z-order interleave of ``quad_cell``, the
+    Hilbert curve has NO long jumps — consecutive ``d`` values are
+    always grid-adjacent — so range-partitioning a dataset on ``d``
+    yields spatially compact partitions (the locality key the 100-TB
+    layout shuffles on).  Pure int64; the SQL oracle unrolls the same
+    ``order`` iterations as chained CTE column updates."""
+    x = np.asarray(x, dtype=np.int64).copy()
+    y = np.asarray(y, dtype=np.int64).copy()
+    n = np.int64(1) << np.int64(order)
+    d = np.zeros_like(x)
+    s = np.int64(1) << np.int64(order - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant: if ry==0 then (flip when rx==1, then swap)
+        flip = (ry == 0) & (rx == 1)
+        xf = np.where(flip, n - 1 - x, x)
+        yf = np.where(flip, n - 1 - y, y)
+        swap = ry == 0
+        x = np.where(swap, yf, xf)
+        y = np.where(swap, xf, yf)
+        s >>= np.int64(1)
+    return d
+
+
+def hilbert_to_xy(d: np.ndarray, order: int) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of ``hilbert_from_xy`` (the classic d2xy loop,
+    vectorized low-bit-first); used by the adjacency pytest to prove
+    the no-long-jumps locality property end-to-end."""
+    d = np.asarray(d, dtype=np.int64)
+    t = d.copy()
+    x = np.zeros_like(d)
+    y = np.zeros_like(d)
+    s = np.int64(1)
+    top = np.int64(1) << np.int64(order)
+    while s < top:
+        rx = np.int64(1) & (t // 2)
+        ry = np.int64(1) & (t ^ rx)
+        # rotate back
+        flip = (ry == 0) & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        swap = ry == 0
+        x2 = np.where(swap, yf, xf)
+        y2 = np.where(swap, xf, yf)
+        x = x2 + s * rx
+        y = y2 + s * ry
+        t //= 4
+        s <<= np.int64(1)
+    return x, y
+
+
+def hilbert_cell(lat, lon, order: int = 13) -> np.ndarray:
+    """Hilbert locality index of a point: equirectangular grid coords at
+    ``order`` (reusing ``quad_xy``) -> curve distance.  order=13 gives
+    ~4.9 km cells at the equator; d fits int64 for any order <= 31."""
+    x, y = quad_xy(lat, lon, order)
+    return hilbert_from_xy(x, y, order)

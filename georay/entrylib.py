@@ -619,6 +619,34 @@ def q_geo_path_bearing(sf_dir: str):
                        group_fn=False)
 
 
+def q_geo_hilbert_index(sf_dir: str):
+    """Hilbert-curve locality index per gazetteer place (order 13, ~5 km
+    cells): grid coords via the shared equirectangular ``quad_xy``, then
+    the vectorized xy2d bit loop (cells.hilbert_from_xy).  Zero shuffle —
+    the index is the SORT/RANGE-PARTITION key the 100-TB layout uses for
+    spatially compact partitions (consecutive ``hilbert_d`` values are
+    always grid-adjacent, unlike the Z-order ``quad_cell`` interleave
+    whose jumps split neighborhoods across partitions).  The SQL oracle
+    unrolls the same 13 rotate-and-accumulate iterations as chained
+    CTEs, so every (rx, ry, flip, swap) step is value-verified."""
+    from .cells import hilbert_from_xy, quad_xy
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["place_id", "lat", "lon"])
+    order = 13
+
+    def idx(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        x, y = quad_xy(lat, lon, order)
+        return pa.table({"place_id": batch["place_id"],
+                         "hx": pa.array(x), "hy": pa.array(y),
+                         "hilbert_d": pa.array(
+                             hilbert_from_xy(x, y, order))})
+
+    return ds.map_batches(idx, batch_format="pyarrow")
+
+
 def q_geo_polygon_centroid(sf_dir: str):
     """Exact polygon centroid numerators per admin ring, pure int64:
     coordinates translate to the ring's µdeg minimum first (without
@@ -2216,6 +2244,19 @@ def q_doc_hll_registers(sf_dir: str):
     return hll_registers(ds, p=10)
 
 
+def q_doc_cms_registers(sf_dir: str):
+    """Count-min sketch (depth 4 × width 512) over corpus token counts —
+    the additive dual of the HLL oracle above: per-batch partials, one
+    bounded groupby-SUM merge (≤ depth×width rows per block at ANY
+    corpus size), and the REGISTERS are compared bit-for-bit (hash r of
+    a token = md5_number_upper(r || '|' || token) % width on both
+    sides)."""
+    from .ops.sketch import cms_registers
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return cms_registers(ds, depth=4, width=512)
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """Exact corpus length quantiles from per-batch (length, count)
     partial histograms: the shuffle moves one row per distinct length
@@ -3259,6 +3300,42 @@ def _hex_from_sql(src: str, keys: str, res: int = 9) -> str:
         from he)"""
 
 
+def _hilbert_sql(gaz: str, order: int = 13) -> str:
+    """Unrolled Hilbert xy2d oracle: one chained CTE per bit replaying
+    cells.hilbert_from_xy's rotate-and-accumulate step — d += s²·
+    ((3·rx) XOR ry), then flip (n-1-·) when ry=0∧rx=1 and swap when
+    ry=0 — with (x, y) read from the PREVIOUS iteration's columns (a
+    single SELECT evaluates both update expressions against old
+    values, exactly like the vectorized numpy step)."""
+    n = 1 << order
+    grid_x = (f"least(greatest(cast(floor((lon+180.0)/360.0*{n}) "
+              f"as bigint), 0), {n - 1})")
+    grid_y = (f"least(greatest(cast(floor((lat+90.0)/180.0*{n}) "
+              f"as bigint), 0), {n - 1})")
+    parts = [f"""
+        with it0 as (select place_id,
+            {grid_x} hx, {grid_y} hy,
+            {grid_x} x, {grid_y} y, cast(0 as bigint) d
+          from {gaz})"""]
+    for i in range(order):
+        s = 1 << (order - 1 - i)
+        rx = f"(case when (x & {s}) > 0 then 1 else 0 end)"
+        ry = f"(case when (y & {s}) > 0 then 1 else 0 end)"
+        parts.append(f""",
+        it{i + 1} as (select place_id, hx, hy,
+            d + {s * s} * xor(3 * {rx}, {ry}) d,
+            case when (y & {s}) = 0
+                 then (case when (x & {s}) > 0 then {n - 1} - y else y end)
+                 else x end x,
+            case when (y & {s}) = 0
+                 then (case when (x & {s}) > 0 then {n - 1} - x else x end)
+                 else y end y
+          from it{i})""")
+    parts.append(f"""
+        select place_id, hx, hy, d as hilbert_d from it{order}""")
+    return "".join(parts)
+
+
 def _quad_compact_sql(gaz: str, level: int = 12, stop: int = 0) -> str:
     """Unrolled quadtree compaction oracle: the ±1-cell coverage mask at
     ``level``, then one complete-sibling promotion step per level down
@@ -4014,6 +4091,7 @@ def build_oracle_sql() -> dict[str, str]:
                                          and b < 180000000) as bigint)
                      as east_legs
             from ub group by post_code""",
+        "geo_hilbert_index": _hilbert_sql(gaz),
         "geo_nearest_join": f"""
             with s as (select place_id, lat, lon from {gaz}
                        where place_rank = 26),
@@ -4432,6 +4510,23 @@ def build_oracle_sql() -> dict[str, str]:
                    from r)
             select bucket, cast(max(rho) as bigint) as rho
             from rr group by bucket""",
+        "doc_cms_registers": r"""
+            with toks as (
+              select lower(u.tok) as token
+              from documents,
+                   unnest(regexp_extract_all(text, '\w+')) u(tok)),
+            tc as (select token, cast(count(*) as bigint) n
+                   from toks group by token),
+            reg as (select rs.r,
+                           cast(md5_number_upper(
+                                  cast(rs.r as varchar) || '|' || token)
+                                % 512 as bigint) bucket,
+                           sum(n) n
+                    from tc, (values (0),(1),(2),(3)) rs(r)
+                    group by 1, 2)
+            select cast(r as bigint) as row, bucket,
+                   cast(n as bigint) as n
+            from reg""",
         "doc_length_quantiles": r"""
             with lens as (
               select cast(length(text) as bigint) as v from documents),

@@ -103,3 +103,71 @@ def hll_estimate(registers: pd.DataFrame, p: int = 10) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def cms_partial(tokens: list[str], counts: np.ndarray,
+                depth: int, width: int) -> pa.Table:
+    """Count-min registers touched by one batch: (row, bucket, n) rows.
+    Hash r of a token is the little-endian first-8-md5-bytes of
+    ``"{r}|{token}"`` mod width (== DuckDB
+    ``md5_number_upper(r || '|' || tok) % width``)."""
+    from .md5vec import md5_u64_le
+    rows = []
+    for r in range(depth):
+        h = md5_u64_le([f"{r}|{t}".encode("utf-8") for t in tokens])
+        bucket = (h % np.uint64(width)).astype(np.int64)
+        regs = np.zeros(width, dtype=np.int64)
+        np.add.at(regs, bucket, counts)
+        nz = np.flatnonzero(regs)
+        rows.append(pa.table({
+            "row": pa.array(np.full(len(nz), r, dtype=np.int64)),
+            "bucket": pa.array(nz.astype(np.int64)),
+            "n": pa.array(regs[nz])}))
+    return pa.concat_tables(rows)
+
+
+def cms_registers(ds: "ray.data.Dataset", depth: int = 4, width: int = 512,
+                  *, text_col: str = "text") -> "ray.data.Dataset":
+    """Count-min sketch over the tokenized column: per-batch partial
+    registers (token counts hashed ``depth`` ways), one bounded
+    groupby-SUM merge — the shuffle moves at most depth×width rows per
+    block regardless of corpus size (the additive mergeable-summary
+    dual of the HLL max-merge above).  Registers — not just point
+    estimates — are bit-exact vs the SQL oracle; point queries
+    (min over rows of register[r][h_r(tok)]) never underestimate."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+        cnt: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            cnt.update(_WORD.findall((t or "").lower()))
+        if not cnt:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        toks = list(cnt.keys())
+        counts = np.fromiter(cnt.values(), dtype=np.int64, count=len(toks))
+        return cms_partial(toks, counts, depth, width)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return (partials.groupby(["row", "bucket"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def cms_point_estimate(registers: pd.DataFrame, tokens: list[str],
+                       depth: int = 4, width: int = 512) -> np.ndarray:
+    """Point-query estimates from merged registers (driver-side; the
+    register table is at most depth×width rows): min over hash rows."""
+    from .md5vec import md5_u64_le
+    regs = np.zeros((depth, width), dtype=np.int64)
+    if len(registers):
+        regs[registers["row"].to_numpy(np.int64),
+             registers["bucket"].to_numpy(np.int64)] = \
+            registers["n"].to_numpy(np.int64)
+    est = np.full(len(tokens), np.iinfo(np.int64).max, dtype=np.int64)
+    for r in range(depth):
+        h = md5_u64_le([f"{r}|{t}".encode("utf-8") for t in tokens])
+        bucket = (h % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, regs[r, bucket])
+    return est

@@ -232,3 +232,31 @@ def test_quad_uncompact_op(ray_session):
     deeper = ray.data.from_arrow(pa.table({"cell": pa.array(child)}))
     with pytest.raises(Exception):
         quad_uncompact(deeper, 11).to_pandas()
+
+
+def test_hilbert_kernel_bijection_roundtrip_adjacency():
+    from georay.cells import hilbert_from_xy, hilbert_to_xy
+    order = 6
+    n = 1 << order
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    xs = xs.ravel()
+    ys = ys.ravel()
+    d = hilbert_from_xy(xs, ys, order)
+    # bijection onto [0, n^2)
+    assert len(np.unique(d)) == n * n and d.min() == 0 and d.max() == n * n - 1
+    # exact inverse
+    x2, y2 = hilbert_to_xy(d, order)
+    assert (x2 == xs).all() and (y2 == ys).all()
+    # the locality property the partitioner relies on: consecutive d
+    # are ALWAYS grid-adjacent (manhattan distance exactly 1)
+    o = np.argsort(d)
+    step = np.abs(np.diff(xs[o])) + np.abs(np.diff(ys[o]))
+    assert (step == 1).all()
+
+
+def test_hilbert_pinned_vectors():
+    # order-1 curve is the U shape: (0,0)->(0,1)->(1,1)->(1,0)
+    from georay.cells import hilbert_from_xy
+    xs = np.array([0, 0, 1, 1])
+    ys = np.array([0, 1, 1, 0])
+    assert hilbert_from_xy(xs, ys, 1).tolist() == [0, 1, 2, 3]

@@ -798,3 +798,45 @@ def test_keep_canonical_anti_join_plan_equivalence(ray_session):
                           max_broadcast_bytes=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert auto.equals(bc)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (ops/sketch.py)
+# ---------------------------------------------------------------------------
+
+def test_cms_registers_merge_and_overestimate(ray_session):
+    """Sum-merge invariant (sketching the union == summing per-part
+    sketches) and the CMS guarantee: point estimates NEVER
+    underestimate, and with few tokens vs width they are exact."""
+    from collections import Counter
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from georay.ops.sketch import (_WORD, cms_point_estimate,
+                                   cms_registers)
+    a = [f"tok{i} tok{i % 7} filler" for i in range(50)]
+    b = [f"tok{i % 3} other words here" for i in range(30)]
+    whole = cms_registers(ray.data.from_arrow(pa.table({"text": a + b})),
+                          depth=4, width=256).to_pandas()
+    pa_ = cms_registers(ray.data.from_arrow(pa.table({"text": a})),
+                        depth=4, width=256).to_pandas()
+    pb_ = cms_registers(ray.data.from_arrow(pa.table({"text": b})),
+                        depth=4, width=256).to_pandas()
+    merged = (pd.concat([pa_, pb_])
+              .groupby(["row", "bucket"], as_index=False)["n"].sum())
+    w = whole.sort_values(["row", "bucket"]).reset_index(drop=True)
+    m = merged.sort_values(["row", "bucket"]).reset_index(drop=True)
+    assert w.equals(m.astype({"row": "int64", "bucket": "int64",
+                              "n": "int64"}))
+    cnt: Counter = Counter()
+    for t in a + b:
+        cnt.update(_WORD.findall(t.lower()))
+    toks = list(cnt.keys())
+    true = np.fromiter(cnt.values(), dtype=np.int64, count=len(toks))
+    est = cms_point_estimate(whole, toks, depth=4, width=256)
+    assert (est >= true).all()
+    # register totals conserve the token stream per hash row
+    per_row = whole.groupby("row")["n"].sum()
+    assert (per_row == true.sum()).all()
