@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_quad_polyfill": e.q_geo_quad_polyfill,
         "geo_quad_roundtrip": e.q_geo_quad_roundtrip,
         "geo_hilbert_index": e.q_geo_hilbert_index,
+        "geo_od_flows": e.q_geo_od_flows,
+        "geo_hotspot_cells": e.q_geo_hotspot_cells,
     }
 
 

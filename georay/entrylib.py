@@ -647,6 +647,106 @@ def q_geo_hilbert_index(sf_dir: str):
     return ds.map_batches(idx, batch_format="pyarrow")
 
 
+def q_geo_od_flows(sf_dir: str):
+    """Origin-destination flow matrix: each leg of the per-postcode
+    rank-26 trajectory (ordered by place_id, the path_length
+    convention) contributes one (origin cell, destination cell) flow at
+    the 0.2° square grid; output = flow counts.  Scale shape: ONE
+    co-partitioned shuffle on the postcode builds legs locally, then the
+    merge groupby moves at most one row per distinct (o, d) pair per
+    block — the flow matrix, not the trajectories, crosses the wire."""
+    from .cells import square_cell
+    from .shuffle import grouped_map
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["post_code", "place_id", "lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+    pitch = 0.2
+
+    out_schema = pa.schema([("o_cell", pa.int64()), ("d_cell", pa.int64()),
+                            ("n_flows", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["post_code", "place_id"], kind="mergesort")
+        pc_arr = df["post_code"].to_numpy()
+        cell = square_cell(df["lat"].to_numpy(np.float64),
+                           df["lon"].to_numpy(np.float64), pitch)
+        same = pc_arr[:-1] == pc_arr[1:]
+        if not same.any():
+            return out_schema.empty_table()
+        s = pd.DataFrame({"o_cell": cell[:-1][same],
+                          "d_cell": cell[1:][same]})
+        g = (s.groupby(["o_cell", "d_cell"], sort=False)
+             .size().reset_index(name="n_flows"))
+        return pa.table({"o_cell": pa.array(g["o_cell"], pa.int64()),
+                         "d_cell": pa.array(g["d_cell"], pa.int64()),
+                         "n_flows": pa.array(g["n_flows"], pa.int64())})
+
+    legs = grouped_map(streets, "post_code", per_partition, group_fn=False)
+    from ray.data.aggregate import Sum
+    return (legs.groupby(["o_cell", "d_cell"])
+            .aggregate(Sum("n_flows", alias_name="n_flows")))
+
+
+def q_geo_hotspot_cells(sf_dir: str):
+    """Neighborhood hotspot statistic per occupied 0.05° square cell
+    (the Getis-Ord Gi numerator family, integer-exact): n_self = rank-26
+    streets in the cell, n_nbr = streets in the 3×3 neighborhood
+    INCLUDING self.  Two bounded stages: per-batch partial cell counts
+    → groupby-SUM (shuffle carries one row per touched cell per block),
+    then the COUNTS table — already ≤ #occupied cells, corpus-size
+    independent — expands map-side to its 9 neighbor contributions and
+    one more tiny groupby-SUM; occupied cells join back to keep only
+    real hotspot candidates."""
+    from .cells import square_cell
+    from ray.data.aggregate import Sum
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+    w = np.int64(int(round(360.0 / SQUARE_CELL_DEG)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = square_cell(batch["lat"].to_numpy(zero_copy_only=False),
+                           batch["lon"].to_numpy(zero_copy_only=False))
+        uniq, counts = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(uniq),
+                         "n": pa.array(counts.astype(np.int64))})
+
+    counts = (streets.map_batches(partial, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("n", alias_name="n")))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch["cell"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        outs = []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                outs.append(pa.table({
+                    "cell": pa.array(cell + np.int64(dy) * w
+                                     + np.int64(dx)),
+                    "n_self": pa.array(
+                        n if dx == 0 and dy == 0
+                        else np.zeros(len(n), np.int64)),
+                    "n_nbr": pa.array(n.astype(np.int64))}))
+        return pa.concat_tables(outs)
+
+    nbr = (counts.map_batches(expand, batch_format="pyarrow")
+           .groupby("cell").aggregate(Sum("n_self", alias_name="n_self"),
+                                      Sum("n_nbr", alias_name="n_nbr")))
+    return nbr.map_batches(
+        lambda b: b.filter(pa.compute.greater(b["n_self"], 0)),
+        batch_format="pyarrow")
+
+
 def q_geo_polygon_centroid(sf_dir: str):
     """Exact polygon centroid numerators per admin ring, pure int64:
     coordinates translate to the ring's µdeg minimum first (without
@@ -4092,6 +4192,37 @@ def build_oracle_sql() -> dict[str, str]:
                      as east_legs
             from ub group by post_code""",
         "geo_hilbert_index": _hilbert_sql(gaz),
+        "geo_od_flows": f"""
+            with s as (select cast(post_code as varchar) post_code,
+                              place_id, lat, lon
+                       from {gaz} where place_rank = 26),
+            c as (select post_code, place_id,
+                         cast(floor((lat+90.0)/0.2) as bigint) * 1800
+                         + cast(floor((lon+180.0)/0.2) as bigint) cell
+                  from s),
+            o as (select post_code, cell d_cell, lag(cell) over w o_cell
+                  from c window w as (partition by post_code
+                                      order by place_id))
+            select o_cell, d_cell, cast(count(*) as bigint) as n_flows
+            from o where o_cell is not null
+            group by 1, 2""",
+        "geo_hotspot_cells": f"""
+            with c as (select
+                cast(floor((lat+90)/{SQUARE_CELL_DEG}) as bigint)*{w}
+                + cast(floor((lon+180)/{SQUARE_CELL_DEG}) as bigint) cell
+              from {gaz} where place_rank = 26),
+            cnt as (select cell, cast(count(*) as bigint) n
+                    from c group by cell),
+            nbr as (select a.cell + dy.v * {w} + dx.v cell,
+                           case when dx.v = 0 and dy.v = 0
+                                then n else 0 end n_self,
+                           n n_nbr
+                    from cnt a, (values (-1),(0),(1)) dx(v),
+                         (values (-1),(0),(1)) dy(v)),
+            agg as (select cell, cast(sum(n_self) as bigint) n_self,
+                           cast(sum(n_nbr) as bigint) n_nbr
+                    from nbr group by cell)
+            select cell, n_self, n_nbr from agg where n_self > 0""",
         "geo_nearest_join": f"""
             with s as (select place_id, lat, lon from {gaz}
                        where place_rank = 26),
