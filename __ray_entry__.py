@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hilbert_index": e.q_geo_hilbert_index,
         "geo_od_flows": e.q_geo_od_flows,
         "geo_hotspot_cells": e.q_geo_hotspot_cells,
+        "geo_boundary_margin": e.q_geo_boundary_margin,
+        "geo_self_crossings": e.q_geo_self_crossings,
     }
 
 

@@ -747,6 +747,147 @@ def q_geo_hotspot_cells(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_geo_self_crossings(sf_dir: str):
+    """Trajectory self-intersection detection (the route/ring validity
+    check): all properly-crossing leg pairs within each postcode's
+    rank-26 trajectory, by EXACT integer orientation tests on µdeg
+    coordinates (sign of int64 cross products — no float epsilon, no
+    collinear/touching false positives; |Δ|≤3.6e8 µdeg so the products
+    stay ≤1.3e17 < int64).  Scale shape: ONE co-partitioned shuffle on
+    the postcode — a trajectory's legs are then local, so the O(k²)
+    pair test is per-key vectorized work bounded by trajectory length,
+    never corpus size."""
+    from .shuffle import grouped_map
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["post_code", "place_id", "lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([("post_code", pa.string()),
+                            ("seg_a", pa.int64()), ("seg_b", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["post_code", "place_id"], kind="mergesort")
+        pcs: list = []
+        sa: list = []
+        sb: list = []
+        for pc, g in df.groupby("post_code", sort=False):
+            if len(g) < 3:
+                continue
+            x = np.floor(g["lon"].to_numpy(np.float64) * 1e6) \
+                .astype(np.int64)
+            y = np.floor(g["lat"].to_numpy(np.float64) * 1e6) \
+                .astype(np.int64)
+            sid = g["place_id"].to_numpy(np.int64)[:-1]  # leg start id
+            ax, ay, bx, by = x[:-1], y[:-1], x[1:], y[1:]
+            ia, ib = np.triu_indices(len(sid), k=1)
+            o1 = np.sign((bx[ia] - ax[ia]) * (ay[ib] - ay[ia])
+                         - (by[ia] - ay[ia]) * (ax[ib] - ax[ia]))
+            o2 = np.sign((bx[ia] - ax[ia]) * (by[ib] - ay[ia])
+                         - (by[ia] - ay[ia]) * (bx[ib] - ax[ia]))
+            o3 = np.sign((bx[ib] - ax[ib]) * (ay[ia] - ay[ib])
+                         - (by[ib] - ay[ib]) * (ax[ia] - ax[ib]))
+            o4 = np.sign((bx[ib] - ax[ib]) * (by[ia] - ay[ib])
+                         - (by[ib] - ay[ib]) * (bx[ia] - ax[ib]))
+            hit = (o1 * o2 == -1) & (o3 * o4 == -1)
+            if hit.any():
+                pcs.extend([str(pc)] * int(hit.sum()))
+                sa.append(sid[ia[hit]])
+                sb.append(sid[ib[hit]])
+        if not sa:
+            return out_schema.empty_table()
+        return pa.table({"post_code": pa.array(pcs, pa.string()),
+                         "seg_a": pa.array(np.concatenate(sa)),
+                         "seg_b": pa.array(np.concatenate(sb))})
+
+    return grouped_map(streets, "post_code", per_partition,
+                       group_fn=False)
+
+
+_EDGE_CACHE: dict = {}
+
+
+def q_geo_boundary_margin(sf_dir: str):
+    """Geofence margin: planar point-to-nearest-edge distance (µdeg,
+    floored AFTER the min) from every rank-26 street to its own
+    postcode's admin ring — the "how close to the fence" signal a
+    geofencing pipeline alerts on.  The boundary table is bounded (per
+    admin area, corpus-size independent), so each worker caches the
+    per-postcode edge arrays once and the point side streams through
+    ONE stateless map_batches — no shuffle.  Float determinism: the
+    projection/clamp/hypot expression trees are written identically on
+    both sides (no pow(), no FMA), min over the same edge set, floor
+    after min."""
+    d = ensure_synth(sf_dir)
+    bpath = os.path.join(d, "boundaries.parquet")
+
+    out_schema = pa.schema([("place_id", pa.int64()),
+                            ("margin_udeg", pa.int64())])
+
+    def margin(batch: pa.Table) -> pa.Table:
+        edges = _EDGE_CACHE.get(bpath)
+        if edges is None:
+            t = pq.read_table(bpath, columns=["post_code", "ring_lat",
+                                              "ring_lon"])
+            edges = {}
+            for pc, la, lo in zip(t["post_code"].to_pylist(),
+                                  t["ring_lat"].to_pylist(),
+                                  t["ring_lon"].to_pylist()):
+                y = np.asarray(la, np.float64)
+                x = np.asarray(lo, np.float64)
+                x1, y1 = x[:-1], y[:-1]
+                x2, y2 = x[1:], y[1:]
+                keep = ~((x1 == x2) & (y1 == y2))  # mirror SQL filter
+                seg = (x1[keep], y1[keep], x2[keep] - x1[keep],
+                       y2[keep] - y1[keep])
+                if str(pc) in edges:  # several rings per postcode: concat
+                    old = edges[str(pc)]
+                    seg = tuple(np.concatenate([o, n])
+                                for o, n in zip(old, seg))
+                edges[str(pc)] = seg
+            _EDGE_CACHE[bpath] = edges
+        pcs = np.array([str(v) for v in
+                        batch["post_code"].to_pylist()])
+        pid = batch["place_id"].to_numpy(zero_copy_only=False)
+        px = batch["lon"].to_numpy(zero_copy_only=False)
+        py = batch["lat"].to_numpy(zero_copy_only=False)
+        out_pid: list = []
+        out_m: list = []
+        for pc in np.unique(pcs):
+            seg = edges.get(pc)
+            if seg is None:
+                continue  # inner-join semantics, mirrored in SQL
+            x1, y1, dx, dy = seg
+            m = pcs == pc
+            qx = px[m][:, None]
+            qy = py[m][:, None]
+            ll = dx * dx + dy * dy
+            t = ((qx - x1) * dx + (qy - y1) * dy) / ll
+            tc = np.minimum(np.maximum(t, 0.0), 1.0)
+            ex = qx - (x1 + tc * dx)
+            ey = qy - (y1 + tc * dy)
+            dist = np.sqrt(ex * ex + ey * ey).min(axis=1)
+            out_pid.append(pid[m])
+            out_m.append(np.floor(1e6 * dist).astype(np.int64))
+        if not out_pid:
+            return out_schema.empty_table()
+        return pa.table({"place_id": pa.array(np.concatenate(out_pid)),
+                         "margin_udeg": pa.array(np.concatenate(out_m))})
+
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["place_id", "post_code", "lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+    return streets.map_batches(margin, batch_format="pyarrow")
+
+
 def q_geo_polygon_centroid(sf_dir: str):
     """Exact polygon centroid numerators per admin ring, pure int64:
     coordinates translate to the ring's µdeg minimum first (without
@@ -4206,6 +4347,60 @@ def build_oracle_sql() -> dict[str, str]:
             select o_cell, d_cell, cast(count(*) as bigint) as n_flows
             from o where o_cell is not null
             group by 1, 2""",
+        "geo_self_crossings": f"""
+            with s as (select cast(post_code as varchar) post_code,
+                              place_id,
+                              cast(floor(lat*1e6) as bigint) y,
+                              cast(floor(lon*1e6) as bigint) x
+                       from {gaz} where place_rank = 26),
+            seg as (select post_code, place_id sid, x bx, y by_,
+                           lag(x) over w ax, lag(y) over w ay,
+                           lag(place_id) over w said
+                    from s window w as (partition by post_code
+                                        order by place_id)),
+            sg as (select post_code, said sid, ax, ay, bx, by_
+                   from seg where ax is not null),
+            o as (select a.post_code, a.sid sa, b.sid sb,
+                   sign((a.bx-a.ax)*(b.ay-a.ay)
+                        - (a.by_-a.ay)*(b.ax-a.ax)) o1,
+                   sign((a.bx-a.ax)*(b.by_-a.ay)
+                        - (a.by_-a.ay)*(b.bx-a.ax)) o2,
+                   sign((b.bx-b.ax)*(a.ay-b.ay)
+                        - (b.by_-b.ay)*(a.ax-b.ax)) o3,
+                   sign((b.bx-b.ax)*(a.by_-b.ay)
+                        - (b.by_-b.ay)*(a.bx-b.ax)) o4
+                  from sg a join sg b
+                    on a.post_code = b.post_code and a.sid < b.sid)
+            select post_code, sa as seg_a, sb as seg_b
+            from o where o1*o2 = -1 and o3*o4 = -1""",
+        "geo_boundary_margin": f"""
+            with b as (select cast(post_code as varchar) post_code,
+                              ring_lat, ring_lon
+                       from read_parquet('{s01}/boundaries.parquet')),
+            e as (select post_code,
+                         ring_lon[i] x1, ring_lat[i] y1,
+                         ring_lon[i+1] - ring_lon[i] dx,
+                         ring_lat[i+1] - ring_lat[i] dy
+                  from b, unnest(range(1, len(ring_lat))) t(i)
+                  where not (ring_lon[i] = ring_lon[i+1]
+                             and ring_lat[i] = ring_lat[i+1])),
+            s as (select place_id, cast(post_code as varchar) post_code,
+                         lon px, lat py
+                  from {gaz} where place_rank = 26),
+            t1 as (select s.place_id, s.px, s.py, e.x1, e.y1, e.dx, e.dy,
+                          least(greatest(((s.px - e.x1) * e.dx
+                                          + (s.py - e.y1) * e.dy)
+                                         / (e.dx * e.dx + e.dy * e.dy),
+                                         0), 1) tc
+                   from s join e on e.post_code = s.post_code),
+            t2 as (select place_id,
+                          px - (x1 + tc * dx) ex,
+                          py - (y1 + tc * dy) ey
+                   from t1)
+            select place_id,
+                   cast(floor(1e6 * min(sqrt(ex * ex + ey * ey)))
+                        as bigint) as margin_udeg
+            from t2 group by place_id""",
         "geo_hotspot_cells": f"""
             with c as (select
                 cast(floor((lat+90)/{SQUARE_CELL_DEG}) as bigint)*{w}
