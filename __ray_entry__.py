@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_hotspot_cells": e.q_geo_hotspot_cells,
         "geo_boundary_margin": e.q_geo_boundary_margin,
         "geo_self_crossings": e.q_geo_self_crossings,
+        "geo_snap_to_segment": e.q_geo_snap_to_segment,
+        "geo_street_moments": e.q_geo_street_moments,
     }
 
 

@@ -809,6 +809,124 @@ def q_geo_self_crossings(sf_dir: str):
                        group_fn=False)
 
 
+def q_geo_snap_to_segment(sf_dir: str):
+    """Snap-to-road primitive: each rank-26 street point snaps to the
+    nearest NON-INCIDENT leg of its own postcode trajectory (legs that
+    start or end at the point are excluded — the map-matching shape:
+    nearest candidate segment that isn't already yours).  Argmin over
+    point-to-segment distance with a deterministic (dist asc, leg-start
+    asc) tie contract; emitted distance floored to µdeg.  ONE
+    co-partitioned shuffle co-locates each trajectory with its points;
+    per-key work is a vectorized (points × legs) distance matrix
+    bounded by trajectory length."""
+    from .shuffle import grouped_map
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["post_code", "place_id", "lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([("place_id", pa.int64()),
+                            ("seg_id", pa.int64()),
+                            ("snap_udeg", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["post_code", "place_id"], kind="mergesort")
+        pid_out: list = []
+        seg_out: list = []
+        d_out: list = []
+        for _, g in df.groupby("post_code", sort=False):
+            if len(g) < 3:
+                continue
+            px = g["lon"].to_numpy(np.float64)
+            py = g["lat"].to_numpy(np.float64)
+            pid = g["place_id"].to_numpy(np.int64)
+            x1, y1 = px[:-1], py[:-1]
+            dx, dy = px[1:] - px[:-1], py[1:] - py[:-1]
+            s_start = pid[:-1]
+            s_end = pid[1:]
+            ll = dx * dx + dy * dy
+            qx = px[:, None]
+            qy = py[:, None]
+            t = ((qx - x1) * dx + (qy - y1) * dy) / ll
+            tc = np.minimum(np.maximum(t, 0.0), 1.0)
+            ex = qx - (x1 + tc * dx)
+            ey = qy - (y1 + tc * dy)
+            dist = np.sqrt(ex * ex + ey * ey)
+            incident = ((pid[:, None] == s_start[None, :])
+                        | (pid[:, None] == s_end[None, :]))
+            dist = np.where(incident, np.inf, dist)
+            # (dist asc, leg-start asc): legs are already start-ordered,
+            # so argmin (first minimum) IS the tie contract
+            best = np.argmin(dist, axis=1)
+            ok = np.isfinite(dist[np.arange(len(pid)), best])
+            pid_out.append(pid[ok])
+            seg_out.append(s_start[best[ok]])
+            d_out.append(np.floor(
+                1e6 * dist[np.arange(len(pid)), best][ok]).astype(np.int64))
+        if not pid_out:
+            return out_schema.empty_table()
+        return pa.table({"place_id": pa.array(np.concatenate(pid_out)),
+                         "seg_id": pa.array(np.concatenate(seg_out)),
+                         "snap_udeg": pa.array(np.concatenate(d_out))})
+
+    return grouped_map(streets, "post_code", per_partition,
+                       group_fn=False)
+
+
+def q_geo_street_moments(sf_dir: str):
+    """Per-postcode covariance/OLS moments over street coordinates,
+    pure int64 (the distributed-regression building block: slope =
+    (n·sxy − sx·sy) / (n·sxx − sx²) downstream): µdeg coords translate
+    to the key's minimum first (the polygon-centroid overflow trick —
+    translated values ≤ the postcode extent, so Σxy stays far inside
+    int64), then exact integer sums.  ONE co-partitioned shuffle; the
+    output is one row per key."""
+    from .shuffle import grouped_map
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["post_code", "lat", "lon", "place_rank"])
+    streets = ds.map_batches(
+        lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([("post_code", pa.string()),
+                            ("n", pa.int64()),
+                            ("x0", pa.int64()), ("y0", pa.int64()),
+                            ("sx", pa.int64()), ("sy", pa.int64()),
+                            ("sxy", pa.int64()), ("sxx", pa.int64()),
+                            ("syy", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        rows = []
+        for pc, g in df.groupby("post_code", sort=False):
+            x = np.floor(g["lon"].to_numpy(np.float64) * 1e6) \
+                .astype(np.int64)
+            y = np.floor(g["lat"].to_numpy(np.float64) * 1e6) \
+                .astype(np.int64)
+            x0 = x.min()
+            y0 = y.min()
+            xt = x - x0
+            yt = y - y0
+            rows.append((str(pc), len(g), x0, y0,
+                         int(xt.sum()), int(yt.sum()),
+                         int((xt * yt).sum()), int((xt * xt).sum()),
+                         int((yt * yt).sum())))
+        cols = list(zip(*rows))
+        return pa.table({f.name: pa.array(list(c), f.type)
+                         for f, c in zip(out_schema, cols)})
+
+    return grouped_map(streets, "post_code", per_partition,
+                       group_fn=False)
+
+
 _EDGE_CACHE: dict = {}
 
 
@@ -4373,6 +4491,57 @@ def build_oracle_sql() -> dict[str, str]:
                     on a.post_code = b.post_code and a.sid < b.sid)
             select post_code, sa as seg_a, sb as seg_b
             from o where o1*o2 = -1 and o3*o4 = -1""",
+        "geo_street_moments": f"""
+            with s as (select cast(post_code as varchar) post_code,
+                              cast(floor(lon*1e6) as bigint) x,
+                              cast(floor(lat*1e6) as bigint) y
+                       from {gaz} where place_rank = 26),
+            t as (select post_code,
+                         x - min(x) over (partition by post_code) xt,
+                         y - min(y) over (partition by post_code) yt,
+                         min(x) over (partition by post_code) x0,
+                         min(y) over (partition by post_code) y0
+                  from s)
+            select post_code, cast(count(*) as bigint) as n,
+                   cast(min(x0) as bigint) as x0,
+                   cast(min(y0) as bigint) as y0,
+                   cast(sum(xt) as bigint) as sx,
+                   cast(sum(yt) as bigint) as sy,
+                   cast(sum(xt*yt) as bigint) as sxy,
+                   cast(sum(xt*xt) as bigint) as sxx,
+                   cast(sum(yt*yt) as bigint) as syy
+            from t group by post_code""",
+        "geo_snap_to_segment": f"""
+            with s as (select cast(post_code as varchar) post_code,
+                              place_id, lon px, lat py
+                       from {gaz} where place_rank = 26),
+            seg as (select post_code, place_id eid,
+                           lag(place_id) over w said,
+                           px bx, py by_,
+                           lag(px) over w ax, lag(py) over w ay
+                    from s window w as (partition by post_code
+                                        order by place_id)),
+            sg as (select post_code, said, eid, ax x1, ay y1,
+                          bx - ax dx, by_ - ay dy
+                   from seg where said is not null),
+            t1 as (select s.place_id, sg.said, s.px, s.py,
+                          sg.x1, sg.y1, sg.dx, sg.dy,
+                          least(greatest(
+                            ((s.px - sg.x1)*sg.dx + (s.py - sg.y1)*sg.dy)
+                            / (sg.dx*sg.dx + sg.dy*sg.dy), 0), 1) tc
+                   from s join sg on sg.post_code = s.post_code
+                   where sg.said <> s.place_id
+                     and sg.eid <> s.place_id),
+            t2 as (select place_id, said,
+                          px - (x1 + tc*dx) ex, py - (y1 + tc*dy) ey
+                   from t1),
+            t3 as (select place_id, said, sqrt(ex*ex + ey*ey) dist,
+                          row_number() over (partition by place_id
+                            order by sqrt(ex*ex + ey*ey) asc, said asc) rn
+                   from t2)
+            select place_id, said as seg_id,
+                   cast(floor(1e6 * dist) as bigint) as snap_udeg
+            from t3 where rn = 1""",
         "geo_boundary_margin": f"""
             with b as (select cast(post_code as varchar) post_code,
                               ring_lat, ring_lon
