@@ -166,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_self_crossings": e.q_geo_self_crossings,
         "geo_snap_to_segment": e.q_geo_snap_to_segment,
         "geo_street_moments": e.q_geo_street_moments,
+        "rel_funnel": e.q_rel_funnel,
+        "rel_ntile": e.q_rel_ntile,
     }
 
 

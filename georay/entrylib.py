@@ -2214,6 +2214,97 @@ def q_rel_asof_join(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_funnel(sf_dir: str):
+    """Ordered funnel analysis (view → click → purchase with strictly
+    increasing timestamps): per user, the earliest view, the earliest
+    click AFTER it, the earliest purchase AFTER that — the product
+    analytics primitive SQL needs three chained self-joins for.  ONE
+    co-partitioned shuffle on the user; per-key work is three
+    vectorized masked mins.  Unreached stages emit -1 (epoch µs
+    otherwise) so the row stays null-free for hashing."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "event_type"])
+    ds = ds.map_batches(
+        lambda b: b.filter(pa.compute.is_in(
+            b["event_type"],
+            value_set=pa.array(["view", "click", "purchase"]))),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("funnel_stage", pa.int64()),
+                            ("t_view_us", pa.int64()),
+                            ("t_click_us", pa.int64()),
+                            ("t_purchase_us", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            ts = g["ts"].astype("int64").to_numpy()  # epoch µs
+            et = g["event_type"].to_numpy()
+            v = ts[et == "view"]
+            if not len(v):
+                continue
+            t1 = int(v.min())
+            t2 = -1
+            t3 = -1
+            c = ts[(et == "click") & (ts > t1)]
+            if len(c):
+                t2 = int(c.min())
+                p = ts[(et == "purchase") & (ts > t2)]
+                if len(p):
+                    t3 = int(p.min())
+            stage = 1 + (t2 != -1) + (t3 != -1)
+            rows.append((int(uid), stage, t1, t2, t3))
+        if not rows:
+            return out_schema.empty_table()
+        cols = list(zip(*rows))
+        return pa.table({f.name: pa.array(list(c), f.type)
+                         for f, c in zip(out_schema, cols)})
+
+    return grouped_map(ds, "user_id", per_partition, group_fn=False)
+
+
+def q_rel_ntile(sf_dir: str):
+    """NTILE(4) within each order priority, ordered by (total price,
+    order key): the even-split window function — first n%4 buckets get
+    the extra row, exactly SQL's contract.  ONE co-partitioned shuffle
+    on the priority; per-key work is one lexsort + the closed-form
+    bucket formula (no per-row loop)."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("quartile", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        keys = []
+        quarts = []
+        for _, g in df.groupby("o_orderpriority", sort=False):
+            ok = g["o_orderkey"].to_numpy(np.int64)
+            tp = g["o_totalprice"].to_numpy(np.float64)
+            order = np.lexsort((ok, tp))
+            n = len(ok)
+            k, m = divmod(n, 4)
+            r = np.arange(n, dtype=np.int64)
+            big = m * (k + 1)
+            q = np.where(r < big, r // (k + 1) if k + 1 else 0,
+                         m + (r - big) // max(k, 1))
+            keys.append(ok[order])
+            quarts.append(q + 1)
+        return pa.table({"o_orderkey": pa.array(np.concatenate(keys)),
+                         "quartile": pa.array(np.concatenate(quarts))})
+
+    return grouped_map(ds, "o_orderpriority", per_partition,
+                       group_fn=False)
+
+
 def q_rel_sessionize(sf_dir: str):
     """Ordered-window sessionization (30-minute inactivity gap): the
     stateful per-key windowed aggregate — co-partition by user, sort
@@ -4816,6 +4907,33 @@ def build_oracle_sql() -> dict[str, str]:
                   on o.o_custkey = e.user_id and o.o_orderdate <= e.ts)
             select event_id, o_orderkey as asof_orderkey
             from j where rn = 1""",
+        "rel_funnel": """
+            with v as (select user_id, min(ts) t1 from events
+                       where event_type = 'view' group by 1),
+            c as (select e.user_id, min(e.ts) t2 from events e
+                  join v on v.user_id = e.user_id
+                  where e.event_type = 'click' and e.ts > v.t1
+                  group by 1),
+            p as (select e.user_id, min(e.ts) t3 from events e
+                  join c on c.user_id = e.user_id
+                  where e.event_type = 'purchase' and e.ts > c.t2
+                  group by 1)
+            select v.user_id,
+                   cast(1 + (case when c.user_id is not null
+                             then 1 else 0 end)
+                          + (case when p.user_id is not null
+                             then 1 else 0 end) as bigint) funnel_stage,
+                   epoch_us(v.t1) t_view_us,
+                   coalesce(epoch_us(c.t2), -1) t_click_us,
+                   coalesce(epoch_us(p.t3), -1) t_purchase_us
+            from v left join c on c.user_id = v.user_id
+                   left join p on p.user_id = v.user_id""",
+        "rel_ntile": """
+            select o_orderkey,
+                   cast(ntile(4) over (partition by o_orderpriority
+                        order by o_totalprice, o_orderkey) as bigint)
+                     as quartile
+            from orders""",
         "rel_sessionize": """
             with o as (
                 select user_id, ts, event_id,
