@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_street_moments": e.q_geo_street_moments,
         "rel_funnel": e.q_rel_funnel,
         "rel_ntile": e.q_rel_ntile,
+        "geo_triangles": e.q_geo_triangles,
     }
 
 
