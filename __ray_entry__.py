@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_funnel": e.q_rel_funnel,
         "rel_ntile": e.q_rel_ntile,
         "geo_triangles": e.q_geo_triangles,
+        "geo_pagerank": e.q_geo_pagerank,
     }
 
 

@@ -321,6 +321,105 @@ def q_geo_triangles(sf_dir: str):
             .aggregate(Sum("n", alias_name="n_triangles")))
 
 
+def q_geo_pagerank(sf_dir: str):
+    """Integer PageRank (3 iterations, d = 17/20) on the 1 km street
+    graph: ranks live at scale S = 10¹² and every step is integer
+    floor arithmetic — R'(v) = (3·S)//(20·n) + (17·Σ R(u)//deg(u))//20
+    — so the distributed sum is EXACT regardless of summation order
+    (the float-PageRank nondeterminism trap).  Per iteration: one
+    co-partitioned shuffle on the source (a node's rank row meets all
+    its out-edges, degree counted in-group) + one groupby-SUM on the
+    destination.  The SQL oracle unrolls the same 3 iterations."""
+    from .shuffle import grouped_map
+    from .tiles import radius_join
+    from ray.data.aggregate import Sum
+    d = ensure_synth(sf_dir)
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+    S = 10 ** 12
+
+    def streets():
+        ds = ray.data.read_parquet(gaz_path,
+                                   columns=["place_id", "lat", "lon",
+                                            "place_rank"])
+        return ds.map_batches(
+            lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+            batch_format="pyarrow")
+
+    pairs = (radius_join(streets(), streets(), 1.0, distinct_pairs=True)
+             .select_columns(["left_id", "right_id"]))
+
+    def both_ways(batch: pa.Table) -> pa.Table:
+        u = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["right_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([u, v])),
+                         "v": pa.array(np.concatenate([v, u])),
+                         "r": pa.array(np.zeros(2 * len(u), np.int64)),
+                         "is_edge": pa.array(np.ones(2 * len(u),
+                                                     np.int64))})
+
+    directed = pairs.map_batches(both_ways,
+                                 batch_format="pyarrow").materialize()
+    deg_pdf = directed.groupby("u").count().to_pandas()
+    n_nodes = len(deg_pdf)
+    base = (3 * S) // (20 * n_nodes)
+
+    ranks = ray.data.from_arrow(pa.table({
+        "u": pa.array(deg_pdf["u"].to_numpy(np.int64)),
+        "v": pa.array(np.full(n_nodes, -1, np.int64)),
+        "r": pa.array(np.full(n_nodes, S // n_nodes, np.int64)),
+        "is_edge": pa.array(np.zeros(n_nodes, np.int64))}))
+
+    contrib_schema = pa.schema([("node", pa.int64()),
+                                ("c", pa.int64())])
+
+    def contribute(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return contrib_schema.empty_table()
+        nodes: list = []
+        cs: list = []
+        for u, g in df.groupby("u", sort=False):
+            is_e = g["is_edge"].to_numpy(np.int64)
+            deg = int(is_e.sum())
+            if deg == 0:
+                continue
+            r = int(g.loc[is_e == 0, "r"].iloc[0])
+            share = r // deg
+            dst = g.loc[is_e == 1, "v"].to_numpy(np.int64)
+            nodes.append(dst)
+            cs.append(np.full(len(dst), share, np.int64))
+        if not nodes:
+            return contrib_schema.empty_table()
+        return pa.table({"node": pa.array(np.concatenate(nodes)),
+                         "c": pa.array(np.concatenate(cs))})
+
+    # the round-4 ann lesson: bound reduce partitions by key cardinality
+    # (n_nodes is known exactly from the degree pass)
+    from .shuffle import adaptive_partitions
+    nparts = max(1, min(adaptive_partitions(), n_nodes))
+    for _ in range(3):
+        tagged = directed.union(ranks)
+        summed = (grouped_map(tagged, "u", contribute, group_fn=False,
+                              num_partitions=nparts)
+                  .groupby("node").aggregate(Sum("c", alias_name="c")))
+
+        def new_rank(batch: pa.Table, base=base) -> pa.Table:
+            node = batch["node"].to_numpy(zero_copy_only=False)
+            c = batch["c"].to_numpy(zero_copy_only=False)
+            r = np.int64(base) + (np.int64(17) * c) // np.int64(20)
+            return pa.table({
+                "u": pa.array(node.astype(np.int64)),
+                "v": pa.array(np.full(len(node), -1, np.int64)),
+                "r": pa.array(r),
+                "is_edge": pa.array(np.zeros(len(node), np.int64))})
+
+        ranks = summed.map_batches(new_rank, batch_format="pyarrow")
+
+    return ranks.map_batches(
+        lambda b: pa.table({"node": b["u"], "rank3": b["r"]}),
+        batch_format="pyarrow")
+
+
 def q_geo_nearest_join(sf_dir: str):
     """Nearest other street within 1 km per street (reverse-geocode
     primitive, tiles.nearest_join): grid-bucketed argmin, ties by
@@ -3905,6 +4004,36 @@ def _hilbert_sql(gaz: str, order: int = 13) -> str:
     return "".join(parts)
 
 
+def _pagerank_sql(gaz: str, iters: int = 3, S: int = 10 ** 12) -> str:
+    """Unrolled integer-PageRank oracle: one CTE per iteration with the
+    same floor-division update as the engine (q_geo_pagerank) — exact
+    integer arithmetic, so no float summation-order caveat."""
+    hav = ("2*6371.0088*asin(sqrt(pow(sin(radians(b.lat-a.lat)/2),2)"
+           " + cos(radians(a.lat))*cos(radians(b.lat))"
+           "*pow(sin(radians(b.lon-a.lon)/2),2)))")
+    parts = [f"""
+        with s as (select place_id, lat, lon from {gaz}
+                   where place_rank = 26),
+        p as (select a.place_id u, b.place_id v from s a, s b
+              where a.place_id < b.place_id and {hav} <= 1.0),
+        e as (select u, v from p union all select v as u, u as v from p),
+        dg as (select u, count(*) deg from e group by u),
+        nn as (select cast(count(*) as bigint) n from dg),
+        r0 as (select u as node, cast({S} as bigint) // nn.n r
+               from dg, nn)"""]
+    for i in range(iters):
+        parts.append(f""",
+        r{i + 1} as (select e.v as node,
+                  (3 * cast({S} as bigint)) // (20 * nn.n)
+                  + (17 * sum(r{i}.r // dg.deg)) // 20 r
+           from e join r{i} on r{i}.node = e.u
+                  join dg on dg.u = e.u, nn
+           group by e.v, nn.n)""")
+    parts.append(f"""
+        select node, cast(r as bigint) as rank3 from r{iters}""")
+    return "".join(parts)
+
+
 def _quad_compact_sql(gaz: str, level: int = 12, stop: int = 0) -> str:
     """Unrolled quadtree compaction oracle: the ±1-cell coverage mask at
     ``level``, then one complete-sibling promotion step per level down
@@ -4582,6 +4711,7 @@ def build_oracle_sql() -> dict[str, str]:
                     pow(sin(radians(b.lat-a.lat)/2),2)
                     + cos(radians(a.lat))*cos(radians(b.lat))
                       *pow(sin(radians(b.lon-a.lon)/2),2))) <= 1.0""",
+        "geo_pagerank": _pagerank_sql(gaz),
         "geo_triangles": f"""
             with s as (select place_id, lat, lon from {gaz}
                        where place_rank = 26),
