@@ -170,6 +170,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_ntile": e.q_rel_ntile,
         "geo_triangles": e.q_geo_triangles,
         "geo_pagerank": e.q_geo_pagerank,
+        "rel_event_transitions": e.q_rel_event_transitions,
+        "media_byte_histogram": e.q_media_byte_histogram,
+        "geo_kcore": e.q_geo_kcore,
     }
 
 

@@ -420,6 +420,67 @@ def q_geo_pagerank(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_geo_kcore(sf_dir: str, k: int = 2, max_rounds: int = 8):
+    """k-core decomposition (k=2) of the 1 km street graph by iterative
+    peeling: drop nodes with degree < k, restrict edges, repeat until
+    stable (peeling is idempotent, so the engine's early convergence
+    break equals the oracle's fixed 8 unrolled rounds).  Per round: one
+    degree groupby + a broadcast drop-set filter — the dropped set is
+    periphery-sized per round (the keep_canonical byte-budget argument;
+    the co-partitioned double semi-join is the documented huge-graph
+    upgrade).  Output = (node, core_deg) inside the 2-core."""
+    from .tiles import radius_join
+    from ray.data.aggregate import Sum
+    d = ensure_synth(sf_dir)
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+
+    def streets():
+        ds = ray.data.read_parquet(gaz_path,
+                                   columns=["place_id", "lat", "lon",
+                                            "place_rank"])
+        return ds.map_batches(
+            lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+            batch_format="pyarrow")
+
+    edges = (radius_join(streets(), streets(), 1.0, distinct_pairs=True)
+             .select_columns(["left_id", "right_id"])).materialize()
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        u = batch["left_id"].to_numpy(zero_copy_only=False)
+        v = batch["right_id"].to_numpy(zero_copy_only=False)
+        node, cnt = np.unique(np.concatenate([u, v]), return_counts=True)
+        return pa.table({"node": pa.array(node.astype(np.int64)),
+                         "deg": pa.array(cnt.astype(np.int64))})
+
+    def degrees(eds):
+        return (eds.map_batches(to_nodes, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("deg", alias_name="deg")))
+
+    for _ in range(max_rounds):
+        deg_pdf = degrees(edges).to_pandas()
+        dropped = set(deg_pdf.loc[deg_pdf["deg"] < k, "node"]
+                      .to_numpy(np.int64).tolist())
+        if not dropped:
+            break
+        drop_ref = ray.put(dropped)
+
+        def keep(batch: pa.Table) -> pa.Table:
+            ds_ = ray.get(drop_ref)
+            u = batch["left_id"].to_numpy(zero_copy_only=False)
+            v = batch["right_id"].to_numpy(zero_copy_only=False)
+            m = np.array([a not in ds_ and b not in ds_
+                          for a, b in zip(u, v)], bool)
+            return batch.filter(pa.array(m))
+
+        edges = edges.map_batches(keep,
+                                  batch_format="pyarrow").materialize()
+
+    return (degrees(edges)
+            .map_batches(lambda b: pa.table({"node": b["node"],
+                                             "core_deg": b["deg"]}),
+                         batch_format="pyarrow"))
+
+
 def q_geo_nearest_join(sf_dir: str):
     """Nearest other street within 1 km per street (reverse-geocode
     primitive, tiles.nearest_join): grid-bucketed argmin, ties by
@@ -2523,6 +2584,45 @@ def q_rel_ntile(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_event_transitions(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams
+    ((prev type → type) ordered by (ts, event_id)): ONE co-partitioned
+    shuffle on the user builds transitions locally, then the merge
+    groupby moves only the (from, to) matrix — the sequence-analytics
+    dual of the OD flow operator."""
+    from .shuffle import grouped_map
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_id", "ts", "event_type"])
+
+    out_schema = pa.schema([("from_type", pa.string()),
+                            ("to_type", pa.string()),
+                            ("n", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        same = uid[:-1] == uid[1:]
+        if not same.any():
+            return out_schema.empty_table()
+        t = pd.DataFrame({"from_type": et[:-1][same],
+                          "to_type": et[1:][same]})
+        g = (t.groupby(["from_type", "to_type"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({"from_type": pa.array(g["from_type"], pa.string()),
+                         "to_type": pa.array(g["to_type"], pa.string()),
+                         "n": pa.array(g["n"], pa.int64())})
+
+    partial = grouped_map(ds, "user_id", per_partition, group_fn=False)
+    return (partial.groupby(["from_type", "to_type"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
 def q_rel_sessionize(sf_dir: str):
     """Ordered-window sessionization (30-minute inactivity gap): the
     stateful per-key windowed aggregate — co-partition by user, sort
@@ -3559,6 +3659,49 @@ def q_emb_dup_pairs(sf_dir: str):
     return pa.Table.from_pandas(pdf[["id_a", "id_b"]], preserve_index=False)
 
 
+def q_media_byte_histogram(sf_dir: str):
+    """Exact byte-value histogram per media kind over the OPAQUE binary
+    payload column — the multimodal plumbing check that needs no codec:
+    per batch, payloads concatenate per kind into one uint8 view and a
+    single vectorized bincount emits ≤256 partial rows; ONE bounded
+    groupby-SUM merge (≤ kinds×256 rows per block at any corpus
+    size)."""
+    from ray.data.aggregate import Sum
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(d, "media.parquet"),
+                               columns=["kind", "payload"])
+
+    out_schema = pa.schema([("kind", pa.string()), ("byte", pa.int64()),
+                            ("n", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        by_kind: dict = {}
+        for k, p in zip(kinds, payloads):
+            if p:
+                by_kind.setdefault(k, []).append(p)
+        if not by_kind:
+            return out_schema.empty_table()
+        ks: list = []
+        bs: list = []
+        ns: list = []
+        for k, chunks in by_kind.items():
+            counts = np.bincount(
+                np.frombuffer(b"".join(chunks), dtype=np.uint8),
+                minlength=256)
+            nz = np.flatnonzero(counts)
+            ks.extend([k] * len(nz))
+            bs.append(nz.astype(np.int64))
+            ns.append(counts[nz].astype(np.int64))
+        return pa.table({"kind": pa.array(ks, pa.string()),
+                         "byte": pa.array(np.concatenate(bs)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["kind", "byte"]).aggregate(Sum("n", alias_name="n")))
+
+
 def q_media_features(sf_dir: str):
     from .ops.multimodal import MediaFeatureExtractor
     d = ensure_synth(sf_dir)
@@ -4034,6 +4177,34 @@ def _pagerank_sql(gaz: str, iters: int = 3, S: int = 10 ** 12) -> str:
     return "".join(parts)
 
 
+def _kcore_sql(gaz: str, k: int = 2, rounds: int = 8) -> str:
+    """Unrolled k-core peel oracle: 8 fixed drop-and-restrict rounds
+    (idempotent once converged, so the engine's early break matches)."""
+    hav = ("2*6371.0088*asin(sqrt(pow(sin(radians(b.lat-a.lat)/2),2)"
+           " + cos(radians(a.lat))*cos(radians(b.lat))"
+           "*pow(sin(radians(b.lon-a.lon)/2),2)))")
+    parts = [f"""
+        with s as (select place_id, lat, lon from {gaz}
+                   where place_rank = 26),
+        e0 as materialized (select a.place_id u, b.place_id v
+               from s a, s b
+               where a.place_id < b.place_id and {hav} <= 1.0)"""]
+    for i in range(rounds):
+        parts.append(f""",
+        d{i} as materialized (select node, count(*) deg from (
+                   select u node from e{i}
+                   union all select v from e{i}) group by node),
+        k{i} as materialized (select node from d{i} where deg >= {k}),
+        e{i + 1} as materialized (select u, v from e{i}
+                   where u in (select node from k{i})
+                     and v in (select node from k{i}))""")
+    parts.append(f"""
+        select node, cast(count(*) as bigint) as core_deg from (
+            select u node from e{rounds}
+            union all select v from e{rounds}) group by node""")
+    return "".join(parts)
+
+
 def _quad_compact_sql(gaz: str, level: int = 12, stop: int = 0) -> str:
     """Unrolled quadtree compaction oracle: the ±1-cell coverage mask at
     ``level``, then one complete-sibling promotion step per level down
@@ -4430,6 +4601,20 @@ def build_oracle_sql() -> dict[str, str]:
             from embeddings a join embeddings b on a.vec_id < b.vec_id
             where list_cosine_similarity(a.embedding, b.embedding)
                   >= 0.95""",
+        "media_byte_histogram": f"""
+            with h as (select kind,
+                         unnest(regexp_extract_all(hex(payload), '..')) hx
+                       from read_parquet('{s01}/media.parquet')
+                       where payload is not null
+                         and octet_length(payload) > 0),
+            v as (select kind,
+                     cast((strpos('0123456789ABCDEF', substr(hx, 1, 1))
+                           - 1) * 16
+                          + strpos('0123456789ABCDEF', substr(hx, 2, 1))
+                          - 1 as bigint) byte
+                  from h)
+            select kind, byte, cast(count(*) as bigint) as n
+            from v group by 1, 2""",
         "media_features": f"""
             select media_id, kind, cast(16 as bigint) as feature_dim
             from read_parquet('{s01}/media.parquet')""",
@@ -4712,6 +4897,7 @@ def build_oracle_sql() -> dict[str, str]:
                     + cos(radians(a.lat))*cos(radians(b.lat))
                       *pow(sin(radians(b.lon-a.lon)/2),2))) <= 1.0""",
         "geo_pagerank": _pagerank_sql(gaz),
+        "geo_kcore": _kcore_sql(gaz),
         "geo_triangles": f"""
             with s as (select place_id, lat, lon from {gaz}
                        where place_rank = 26),
@@ -5201,6 +5387,16 @@ def build_oracle_sql() -> dict[str, str]:
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
             from orders""",
+        "rel_event_transitions": """
+            with o as (select user_id, event_type,
+                              lag(event_type) over w prev
+                       from events
+                       window w as (partition by user_id
+                                    order by ts, event_id))
+            select prev as from_type, event_type as to_type,
+                   cast(count(*) as bigint) as n
+            from o where prev is not null
+            group by 1, 2""",
         "rel_sessionize": """
             with o as (
                 select user_id, ts, event_id,
