@@ -173,6 +173,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_event_transitions": e.q_rel_event_transitions,
         "media_byte_histogram": e.q_media_byte_histogram,
         "geo_kcore": e.q_geo_kcore,
+        "doc_bloom_bits": e.q_doc_bloom_bits,
+        "geo_hilbert_ranges": e.q_geo_hilbert_ranges,
     }
 
 

@@ -3025,6 +3025,66 @@ def q_doc_cms_registers(sf_dir: str):
     return cms_registers(ds, depth=4, width=512)
 
 
+def q_doc_bloom_bits(sf_dir: str):
+    """Bloom filter bits (3 hashes × 4096 bits) over the corpus token
+    vocabulary — the membership member of the sketch trio; the SET bit
+    positions themselves are compared (md5_number_upper hash convention
+    shared with CMS), merged by one bounded distinct."""
+    from .ops.sketch import bloom_bits
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return bloom_bits(ds, n_hashes=3, m_bits=4096)
+
+
+def q_geo_hilbert_ranges(sf_dir: str):
+    """Range partitioning ON the Hilbert key, measured: every place maps
+    to one of 8 equal hilbert_d ranges and each range reports (n, µdeg
+    bbox) — the partition-compactness evidence for the 100-TB layout
+    (equal Z-order ranges produce split neighborhoods; Hilbert ranges
+    stay spatially tight).  Map-side partial aggregates + one ≤8-row
+    groupby merge; all int64."""
+    from .cells import hilbert_from_xy, quad_xy
+    from ray.data.aggregate import Max, Min, Sum
+    d = ensure_synth(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(d, "gazetteer.parquet"),
+                               columns=["place_id", "lat", "lon"])
+    order = 13
+
+    def hd_batch(batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        x, y = quad_xy(lat, lon, order)
+        return pa.table({"hx": pa.array(x), "hy": pa.array(y),
+                         "hilbert_d": pa.array(
+                             hilbert_from_xy(x, y, order))})
+
+    hil = ds.map_batches(hd_batch, batch_format="pyarrow")
+    # pass 1: the occupied d-span (two ints to the driver) — a regional
+    # dataset occupies a sliver of the global curve, so ranges are cut
+    # over the span, not the globe
+    span = hil.aggregate(Min("hilbert_d"), Max("hilbert_d"))
+    d0 = int(span["min(hilbert_d)"])
+    width = int(span["max(hilbert_d)"]) - d0 + 1
+
+    def part(batch: pa.Table) -> pa.Table:
+        hd = batch["hilbert_d"].to_numpy(zero_copy_only=False)
+        x = batch["hx"].to_numpy(zero_copy_only=False)
+        y = batch["hy"].to_numpy(zero_copy_only=False)
+        rng = ((hd - np.int64(d0)) * np.int64(8)) // np.int64(width)
+        return pa.table({"h_range": pa.array(rng),
+                         "n": pa.array(np.ones(len(rng), np.int64)),
+                         "min_x": pa.array(x), "max_x": pa.array(x),
+                         "min_y": pa.array(y), "max_y": pa.array(y)})
+
+    return (hil.map_batches(part, batch_format="pyarrow")
+            .groupby("h_range")
+            .aggregate(Sum("n", alias_name="n"),
+                       Min("min_x", alias_name="min_x"),
+                       Max("max_x", alias_name="max_x"),
+                       Min("min_y", alias_name="min_y"),
+                       Max("max_y", alias_name="max_y")))
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """Exact corpus length quantiles from per-batch (length, count)
     partial histograms: the shuffle moves one row per distinct length
@@ -4995,6 +5055,16 @@ def build_oracle_sql() -> dict[str, str]:
                      as east_legs
             from ub group by post_code""",
         "geo_hilbert_index": _hilbert_sql(gaz),
+        "geo_hilbert_ranges": f"""
+            with t as ({_hilbert_sql(gaz)}),
+            sp as (select min(hilbert_d) d0,
+                          max(hilbert_d) - min(hilbert_d) + 1 w from t)
+            select ((t.hilbert_d - sp.d0) * 8) // sp.w as h_range,
+                   cast(count(*) as bigint) as n,
+                   min(t.hx) as min_x, max(t.hx) as max_x,
+                   min(t.hy) as min_y, max(t.hy) as max_y
+            from t, sp
+            group by 1""",
         "geo_od_flows": f"""
             with s as (select cast(post_code as varchar) post_code,
                               place_id, lat, lon
@@ -5586,6 +5656,15 @@ def build_oracle_sql() -> dict[str, str]:
                    from r)
             select bucket, cast(max(rho) as bigint) as rho
             from rr group by bucket""",
+        "doc_bloom_bits": r"""
+            with toks as (
+              select distinct lower(u.tok) as token
+              from documents,
+                   unnest(regexp_extract_all(text, '\w+')) u(tok))
+            select distinct cast(md5_number_upper(
+                     cast(rs.r as varchar) || '|' || token)
+                   % 4096 as bigint) bit_pos
+            from toks, (values (0),(1),(2)) rs(r)""",
         "doc_cms_registers": r"""
             with toks as (
               select lower(u.tok) as token

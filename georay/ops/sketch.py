@@ -171,3 +171,49 @@ def cms_point_estimate(registers: pd.DataFrame, tokens: list[str],
         bucket = (h % np.uint64(width)).astype(np.int64)
         est = np.minimum(est, regs[r, bucket])
     return est
+
+
+def bloom_bits(ds: "ray.data.Dataset", n_hashes: int = 3, m_bits: int = 4096,
+               *, text_col: str = "text") -> "ray.data.Dataset":
+    """Bloom filter over the distinct token vocabulary: the membership
+    member of the sketch trio (HLL = cardinality, CMS = frequency,
+    Bloom = membership).  Per batch, each distinct token sets
+    ``n_hashes`` bit positions (hash r = md5 of ``"{r}|{token}"`` mod
+    m, the CMS convention); the merge is one bounded distinct on the
+    SET bit positions (≤ m rows total) — OR-mergeable like every
+    register sketch here, and the BITS are compared exactly in SQL."""
+    from .md5vec import md5_u64_le
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for t in batch[text_col].to_pylist():
+            seen.update(_WORD.findall((t or "").lower()))
+        if not seen:
+            return pa.table({"bit_pos": pa.array([], pa.int64())})
+        toks = list(seen)
+        bits = []
+        for r in range(n_hashes):
+            h = md5_u64_le([f"{r}|{t}".encode("utf-8") for t in toks])
+            bits.append((h % np.uint64(m_bits)).astype(np.int64))
+        return pa.table({"bit_pos": pa.array(
+            np.unique(np.concatenate(bits)))})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ..shuffle import distinct_on
+    return distinct_on(partials, ["bit_pos"])
+
+
+def bloom_might_contain(bits: "pd.DataFrame", tokens: list[str],
+                        n_hashes: int = 3,
+                        m_bits: int = 4096) -> np.ndarray:
+    """Membership probe against merged bits (driver-side; ≤ m rows):
+    True iff ALL n_hashes positions are set — no false negatives."""
+    from .md5vec import md5_u64_le
+    bitset = np.zeros(m_bits, dtype=bool)
+    if len(bits):
+        bitset[bits["bit_pos"].to_numpy(np.int64)] = True
+    ok = np.ones(len(tokens), dtype=bool)
+    for r in range(n_hashes):
+        h = md5_u64_le([f"{r}|{t}".encode("utf-8") for t in tokens])
+        ok &= bitset[(h % np.uint64(m_bits)).astype(np.int64)]
+    return ok

@@ -840,3 +840,34 @@ def test_cms_registers_merge_and_overestimate(ray_session):
     # register totals conserve the token stream per hash row
     per_row = whole.groupby("row")["n"].sum()
     assert (per_row == true.sum()).all()
+
+
+def test_bloom_bits_membership_and_merge(ray_session):
+    """No false negatives, OR-merge invariance, and absent tokens are
+    mostly rejected at this fill ratio."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from georay.ops.sketch import _WORD, bloom_bits, bloom_might_contain
+    a = [f"alpha{i} beta{i % 5}" for i in range(40)]
+    b = [f"gamma{i % 7} delta words" for i in range(30)]
+    whole = bloom_bits(ray.data.from_arrow(pa.table({"text": a + b})),
+                       n_hashes=3, m_bits=2048).to_pandas()
+    pa_ = bloom_bits(ray.data.from_arrow(pa.table({"text": a})),
+                     n_hashes=3, m_bits=2048).to_pandas()
+    pb_ = bloom_bits(ray.data.from_arrow(pa.table({"text": b})),
+                     n_hashes=3, m_bits=2048).to_pandas()
+    merged = (pd.concat([pa_, pb_])["bit_pos"].drop_duplicates()
+              .sort_values().reset_index(drop=True))
+    assert merged.equals(whole["bit_pos"].sort_values()
+                         .reset_index(drop=True).astype("int64"))
+    vocab: set = set()
+    for t in a + b:
+        vocab.update(_WORD.findall(t.lower()))
+    present = sorted(vocab)
+    ok = bloom_might_contain(whole, present, n_hashes=3, m_bits=2048)
+    assert ok.all()  # a Bloom filter NEVER false-negatives
+    absent = [f"zeta{i}x" for i in range(500)]
+    fp = bloom_might_contain(whole, absent, n_hashes=3, m_bits=2048)
+    assert fp.mean() < 0.05
