@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_kcore": e.q_geo_kcore,
         "doc_bloom_bits": e.q_doc_bloom_bits,
         "geo_hilbert_ranges": e.q_geo_hilbert_ranges,
+        "geo_bfs_hops": e.q_geo_bfs_hops,
     }
 
 

@@ -481,6 +481,110 @@ def q_geo_kcore(sf_dir: str, k: int = 2, max_rounds: int = 8):
                          batch_format="pyarrow"))
 
 
+def q_geo_bfs_hops(sf_dir: str, rounds: int = 8):
+    """BFS hop distance from each node's COMPONENT SEED (the minimum
+    node id in its connected component — deterministic, no source
+    parameter) on the 1 km street graph, capped at 8 rounds: per round
+    the frontier joins the edge list through ONE co-partitioned shuffle
+    and unreached neighbors adopt hops+1 (min-merge keeps the first
+    discovery).  Unreached-within-cap nodes are absent, exactly like
+    the oracle's 8 unrolled relaxation CTEs.  Seeds come from the
+    existing pointer-doubling connected components."""
+    from .shuffle import grouped_map, adaptive_partitions
+    from .tiles import radius_join
+    d = ensure_synth(sf_dir)
+    gaz_path = os.path.join(d, "gazetteer.parquet")
+
+    def streets():
+        ds = ray.data.read_parquet(gaz_path,
+                                   columns=["place_id", "lat", "lon",
+                                            "place_rank"])
+        return ds.map_batches(
+            lambda b: b.filter(pa.compute.equal(b["place_rank"], 26)),
+            batch_format="pyarrow")
+
+    pairs = (radius_join(streets(), streets(), 1.0, distinct_pairs=True)
+             .select_columns(["left_id", "right_id"]))
+
+    def both_ways(batch: pa.Table) -> pa.Table:
+        u = batch["left_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch["right_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([u, v])),
+                         "v": pa.array(np.concatenate([v, u])),
+                         "hops": pa.array(np.full(2 * len(u), -1,
+                                                  np.int64))})
+
+    directed = pairs.map_batches(both_ways,
+                                 batch_format="pyarrow").materialize()
+
+    # seeds: min node id per component == a node that is its own
+    # component label under the min-label CC contract
+    from .ops.dedup import connected_components
+    cc = connected_components(pairs, "left_id", "right_id")
+    seeds = cc.map_batches(
+        lambda b: pa.table({
+            "u": b.filter(pa.compute.equal(b["node"], b["comp"]))["node"],
+        }), batch_format="pyarrow").map_batches(
+        lambda b: pa.table({
+            "u": b["u"],
+            "v": pa.array(np.full(len(b), -1, np.int64)),
+            "hops": pa.array(np.zeros(len(b), np.int64))}),
+        batch_format="pyarrow")
+
+    dist = seeds.materialize()  # (u, v=-1, hops) settled distances
+
+    out_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                            ("hops", pa.int64())])
+
+    def relax(df: pd.DataFrame) -> pa.Table:
+        """Partition holds edge rows (hops=-1) and settled rows for the
+        same co-partitioned u keys; emit hops+1 candidates for every
+        neighbor of a settled node (vectorized: one pandas groupby.min
+        + one map, no per-group Python loop)."""
+        if len(df) == 0:
+            return out_schema.empty_table()
+        settled = (df.loc[df["hops"] >= 0]
+                   .groupby("u", sort=False)["hops"].min())
+        edges = df.loc[df["hops"] < 0]
+        h = edges["u"].map(settled)
+        mask = h.notna().to_numpy()
+        dst = edges["v"].to_numpy(np.int64)[mask]
+        return pa.table({
+            "u": pa.array(dst),
+            "v": pa.array(np.full(len(dst), -1, np.int64)),
+            "hops": pa.array((h.to_numpy(np.float64)[mask] + 1)
+                             .astype(np.int64))})
+
+    def min_merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        s = df.groupby("u", sort=False)["hops"].min()
+        return pa.table({
+            "u": pa.array(s.index.to_numpy(np.int64)),
+            "v": pa.array(np.full(len(s), -1, np.int64)),
+            "hops": pa.array(s.to_numpy(np.int64))})
+
+    # Fixed block width per round: Ray's sort-shuffle groupby emits one
+    # output block per INPUT block, so any naive union→shuffle loop
+    # doubles the block count every round (80→192→416→864 measured) and
+    # round 8 drowns in per-block overhead.  The repartition(P) cap on
+    # the materialized frontier keeps every round's input at ~P+|edge
+    # blocks| — constant per-round cost, the invariant any iterative
+    # graph kernel needs at 256-node scale.
+    P = max(4, min(adaptive_partitions(), 32))
+    for _ in range(rounds):
+        cand = grouped_map(directed.union(dist), "u", relax,
+                           num_partitions=P, group_fn=False)
+        dist = (grouped_map(dist.union(cand), "u", min_merge,
+                            num_partitions=P, group_fn=False)
+                .repartition(P).materialize())
+
+    return dist.map_batches(
+        lambda b: pa.table({"node": b["u"], "hops": b["hops"]}),
+        batch_format="pyarrow")
+
+
 def q_geo_nearest_join(sf_dir: str):
     """Nearest other street within 1 km per street (reverse-geocode
     primitive, tiles.nearest_join): grid-bucketed argmin, ties by
@@ -4237,6 +4341,40 @@ def _pagerank_sql(gaz: str, iters: int = 3, S: int = 10 ** 12) -> str:
     return "".join(parts)
 
 
+def _bfs_sql(gaz: str, rounds: int = 8) -> str:
+    """Unrolled BFS-relaxation oracle: component seeds from a recursive
+    min-reachable-label CTE, then one min-merge CTE per hop round."""
+    hav = ("2*6371.0088*asin(sqrt(pow(sin(radians(b.lat-a.lat)/2),2)"
+           " + cos(radians(a.lat))*cos(radians(b.lat))"
+           "*pow(sin(radians(b.lon-a.lon)/2),2)))")
+    parts = [f"""
+        with recursive s as (select place_id, lat, lon from {gaz}
+                   where place_rank = 26),
+        p as materialized (select a.place_id u, b.place_id v
+              from s a, s b
+              where a.place_id < b.place_id and {hav} <= 1.0),
+        e as materialized (select u, v from p
+                           union all select v as u, u as v from p),
+        reach(node, r) as (
+            select u, u from e
+            union
+            select e.v, reach.r from reach
+            join e on e.u = reach.node),
+        comp as (select node, min(r) c from reach group by node),
+        h0 as materialized (select node, cast(0 as bigint) hops
+                            from comp where node = c)"""]
+    for i in range(rounds):
+        parts.append(f""",
+        h{i + 1} as materialized (select node, min(hops) hops from (
+            select node, hops from h{i}
+            union all
+            select e.v node, h{i}.hops + 1 hops
+            from e join h{i} on h{i}.node = e.u) group by node)""")
+    parts.append(f"""
+        select node, cast(hops as bigint) as hops from h{rounds}""")
+    return "".join(parts)
+
+
 def _kcore_sql(gaz: str, k: int = 2, rounds: int = 8) -> str:
     """Unrolled k-core peel oracle: 8 fixed drop-and-restrict rounds
     (idempotent once converged, so the engine's early break matches)."""
@@ -4958,6 +5096,7 @@ def build_oracle_sql() -> dict[str, str]:
                       *pow(sin(radians(b.lon-a.lon)/2),2))) <= 1.0""",
         "geo_pagerank": _pagerank_sql(gaz),
         "geo_kcore": _kcore_sql(gaz),
+        "geo_bfs_hops": _bfs_sql(gaz),
         "geo_triangles": f"""
             with s as (select place_id, lat, lon from {gaz}
                        where place_rank = 26),
