@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bloom_bits": e.q_doc_bloom_bits,
         "geo_hilbert_ranges": e.q_geo_hilbert_ranges,
         "geo_bfs_hops": e.q_geo_bfs_hops,
+        "rel_range_join": e.q_rel_range_join,
+        "rel_event_gaps": e.q_rel_event_gaps,
     }
 
 

@@ -2688,6 +2688,122 @@ def q_rel_ntile(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_range_join(sf_dir: str, window_days: int = 30):
+    """Pure range join (NO equi-key): per order, how many lineitems —
+    any order's — shipped inside [o_orderdate, o_orderdate+30d).  The
+    scalable plan Ray Data lacks natively: bucket time by the window
+    width W, replicate each lineitem to buckets b(ship) and b(ship)-1
+    (2× the small side, never a cross join), co-partition on the
+    bucket, then one vectorized searchsorted per bucket group.  An
+    order in bucket B finds its complete, deduplicated candidate set
+    in the replicas TARGETED at B (ships with b∈{B,B+1} each target B
+    exactly once — targeting, not raw bucket, is what makes the count
+    exact when two buckets hash to one partition).  Counts are
+    integers, so the distributed merge is order-insensitive."""
+    from .shuffle import grouped_map
+    W = np.int64(window_days) * 86_400_000_000  # window in epoch µs
+
+    def orders_side(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "tb": pa.array(ts // W),
+            "ts": pa.array(ts),
+            "k": batch["o_orderkey"].cast(pa.int64()),
+            "_side": pa.array(np.zeros(len(batch), np.int8))})
+
+    def ship_side(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        b = ts // W
+        return pa.table({
+            "tb": pa.array(np.concatenate([b, b - 1])),
+            "ts": pa.array(np.concatenate([ts, ts])),
+            "k": pa.array(np.full(2 * len(ts), -1, np.int64)),
+            "_side": pa.array(np.ones(2 * len(ts), np.int8))})
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate"]).map_batches(
+        orders_side, batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate"]).map_batches(
+        ship_side, batch_format="pyarrow")
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("n_in_window", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        keys = []
+        cnts = []
+        for _, g in df.groupby("tb", sort=False):
+            o = g.loc[g["_side"] == 0]
+            if o.empty:
+                continue
+            ships = np.sort(g.loc[g["_side"] == 1, "ts"]
+                            .to_numpy(np.int64))
+            ots = o["ts"].to_numpy(np.int64)
+            lo = np.searchsorted(ships, ots, side="left")
+            hi = np.searchsorted(ships, ots + W, side="left")
+            keys.append(o["k"].to_numpy(np.int64))
+            cnts.append(hi - lo)
+        if not keys:
+            return out_schema.empty_table()
+        return pa.table({"o_orderkey": pa.array(np.concatenate(keys)),
+                         "n_in_window": pa.array(
+                             np.concatenate(cnts).astype(np.int64))})
+
+    return grouped_map(od.union(li), "tb", per_partition,
+                       group_fn=False)
+
+
+def q_rel_event_gaps(sf_dir: str):
+    """Per-user inter-event gap statistics (count / min / max / sum of
+    consecutive-event deltas in epoch µs): the LAG-window primitive,
+    executed as ONE co-partitioned shuffle on the user + a vectorized
+    np.diff per group.  All outputs are int64, so the result is
+    bit-identical under any partitioning; the multiset of adjacent
+    diffs of a ts-sorted stream is invariant to tie order, so equal
+    timestamps can't destabilize the hash.  Users with a single event
+    have no gaps and are absent, like the SQL's WHERE prev IS NOT
+    NULL."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_gaps", pa.int64()),
+                            ("min_gap_us", pa.int64()),
+                            ("max_gap_us", pa.int64()),
+                            ("sum_gap_us", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        rows_u, rows_n, rows_mn, rows_mx, rows_s = [], [], [], [], []
+        for uid, g in df.groupby("user_id", sort=False):
+            if len(g) < 2:
+                continue
+            ts = np.sort(g["ts"].astype("int64").to_numpy())
+            d = np.diff(ts)
+            rows_u.append(int(uid))
+            rows_n.append(len(d))
+            rows_mn.append(int(d.min()))
+            rows_mx.append(int(d.max()))
+            rows_s.append(int(d.sum()))
+        return pa.table({
+            "user_id": pa.array(rows_u, pa.int64()),
+            "n_gaps": pa.array(rows_n, pa.int64()),
+            "min_gap_us": pa.array(rows_mn, pa.int64()),
+            "max_gap_us": pa.array(rows_mx, pa.int64()),
+            "sum_gap_us": pa.array(rows_s, pa.int64())})
+
+    return grouped_map(ds, "user_id", per_partition, group_fn=False)
+
+
 def q_rel_event_transitions(sf_dir: str):
     """First-order Markov transition counts over per-user event streams
     ((prev type → type) ordered by (ts, event_id)): ONE co-partitioned
@@ -5596,6 +5712,26 @@ def build_oracle_sql() -> dict[str, str]:
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
             from orders""",
+        "rel_event_gaps": """
+            with o as (select user_id,
+                              epoch_us(ts) - epoch_us(lag(ts) over w)
+                                as gap_us
+                       from events
+                       window w as (partition by user_id order by ts))
+            select user_id,
+                   cast(count(*) as bigint) as n_gaps,
+                   cast(min(gap_us) as bigint) as min_gap_us,
+                   cast(max(gap_us) as bigint) as max_gap_us,
+                   cast(sum(gap_us) as bigint) as sum_gap_us
+            from o where gap_us is not null
+            group by user_id""",
+        "rel_range_join": """
+            select o.o_orderkey,
+                   cast(count(l.l_shipdate) as bigint) as n_in_window
+            from orders o left join lineitem l
+              on l.l_shipdate >= o.o_orderdate
+             and l.l_shipdate < o.o_orderdate + interval 30 day
+            group by o.o_orderkey""",
         "rel_event_transitions": """
             with o as (select user_id, event_type,
                               lag(event_type) over w prev
