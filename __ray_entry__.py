@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_bfs_hops": e.q_geo_bfs_hops,
         "rel_range_join": e.q_rel_range_join,
         "rel_event_gaps": e.q_rel_event_gaps,
+        "rel_cohort_retention": e.q_rel_cohort_retention,
+        "rel_skyline": e.q_rel_skyline,
     }
 
 

@@ -2760,6 +2760,118 @@ def q_rel_range_join(sf_dir: str, window_days: int = 30):
                        group_fn=False)
 
 
+def q_rel_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: customers grouped by first-order month
+    (cohort), counted by months-elapsed at each subsequent order —
+    (cohort_month, month_offset, n_customers).  ONE co-partitioned
+    shuffle on the customer computes each customer's cohort and its
+    distinct offsets locally (the skew-proof part: a customer's whole
+    history is one group), then the merge groupby moves only bounded
+    (cohort × offset) partial counts — never raw orders."""
+    from .shuffle import grouped_map
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_orderdate"])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({"cohort_month": pa.array([], pa.int64()),
+                             "month_offset": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        d = pd.DataFrame({
+            "cust": df["o_custkey"].to_numpy(np.int64),
+            "ym": df["o_orderdate"].dt.year.to_numpy(np.int64) * 12
+            + df["o_orderdate"].dt.month.to_numpy(np.int64) - 1})
+        first = d.groupby("cust", sort=False)["ym"].transform("min")
+        d["cohort"] = first
+        d["off"] = d["ym"] - first
+        u = d.drop_duplicates(["cust", "cohort", "off"])
+        c = (u.groupby(["cohort", "off"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({
+            "cohort_month": pa.array(c["cohort"].to_numpy(np.int64)),
+            "month_offset": pa.array(c["off"].to_numpy(np.int64)),
+            "n": pa.array(c["n"].to_numpy(np.int64))})
+
+    partial = grouped_map(ds, "o_custkey", per_partition, group_fn=False)
+    return (partial.groupby(["cohort_month", "month_offset"])
+            .aggregate(Sum("n", alias_name="n_customers"))
+            .map_batches(lambda b: pa.table({
+                "cohort_month": b["cohort_month"],
+                "month_offset": b["month_offset"],
+                "n_customers": b["n_customers"].cast(pa.int64())}),
+                batch_format="pyarrow"))
+
+
+def q_rel_skyline(sf_dir: str):
+    """2-D skyline (Pareto frontier) of orders minimizing
+    (o_totalprice, o_orderdate): an order survives iff no other order
+    is <= on both axes and < on at least one.  The distributed plan:
+    per-batch local skyline (map-side prune — dominated rows never
+    leave the block), then one single-partition merge whose input is
+    only the union of block frontiers (frontier(∪ frontiers) ==
+    global frontier, an algebraic identity).  Price is compared in
+    exact cents (int64) so partial pruning is bit-stable."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderkey", "o_totalprice",
+                                        "o_orderdate"])
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("price_cents", pa.int64()),
+                            ("odate_us", pa.int64())])
+
+    def skyline(price: np.ndarray, date: np.ndarray) -> np.ndarray:
+        """Indices of non-dominated rows, fully vectorized: the UNIQUE
+        (price, date) points sorted ascending survive iff their date
+        beats the exclusive running-min date of all cheaper-or-equal
+        points; every raw row matching a surviving point survives too
+        (exact-tie points don't strictly dominate each other)."""
+        dfl = pd.DataFrame({"p": price, "d": date,
+                            "i": np.arange(len(price))})
+        u = (dfl[["p", "d"]].drop_duplicates()
+             .sort_values(["p", "d"], kind="mergesort"))
+        cm = np.minimum.accumulate(u["d"].to_numpy())
+        excl = np.concatenate(([np.iinfo(np.int64).max], cm[:-1]))
+        su = u[u["d"].to_numpy() < excl]
+        return dfl.merge(su, on=["p", "d"], how="inner")["i"] \
+            .to_numpy()
+
+    def local(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return out_schema.empty_table()
+        price = np.round(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        date = batch["o_orderdate"].cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        key = batch["o_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = skyline(price, date)
+        return pa.table({"o_orderkey": pa.array(key[idx]),
+                         "price_cents": pa.array(price[idx]),
+                         "odate_us": pa.array(date[idx])})
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        idx = skyline(df["price_cents"].to_numpy(np.int64),
+                      df["odate_us"].to_numpy(np.int64))
+        s = df.iloc[idx]
+        return pa.table({
+            "o_orderkey": pa.array(s["o_orderkey"].to_numpy(np.int64)),
+            "price_cents": pa.array(s["price_cents"]
+                                    .to_numpy(np.int64)),
+            "odate_us": pa.array(s["odate_us"].to_numpy(np.int64))})
+
+    from .shuffle import grouped_map
+    pruned = ds.map_batches(local, batch_format="pyarrow").map_batches(
+        lambda b: b.append_column("_one", pa.array(
+            np.zeros(len(b), np.int64))), batch_format="pyarrow")
+    out = grouped_map(pruned, "_one",
+                      lambda df: merge(df.drop(columns=["_one"])),
+                      num_partitions=1, group_fn=False)
+    return out
+
+
 def q_rel_event_gaps(sf_dir: str):
     """Per-user inter-event gap statistics (count / min / max / sum of
     consecutive-event deltas in epoch µs): the LAG-window primitive,
@@ -5712,6 +5824,31 @@ def build_oracle_sql() -> dict[str, str]:
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
             from orders""",
+        "rel_cohort_retention": """
+            with o as (select o_custkey cust,
+                              year(o_orderdate) * 12
+                              + month(o_orderdate) - 1 as ym
+                       from orders),
+            f as (select cust, min(ym) cohort from o group by cust),
+            u as (select distinct o.cust, f.cohort,
+                         o.ym - f.cohort as offm
+                  from o join f on f.cust = o.cust)
+            select cast(cohort as bigint) as cohort_month,
+                   cast(offm as bigint) as month_offset,
+                   cast(count(*) as bigint) as n_customers
+            from u group by 1, 2""",
+        "rel_skyline": """
+            with o as (select o_orderkey,
+                              cast(round(o_totalprice * 100) as bigint)
+                                as p,
+                              epoch_us(o_orderdate) as d
+                       from orders)
+            select a.o_orderkey,
+                   a.p as price_cents, a.d as odate_us
+            from o a where not exists (
+                select 1 from o b
+                where b.p <= a.p and b.d <= a.d
+                  and (b.p < a.p or b.d < a.d))""",
         "rel_event_gaps": """
             with o as (select user_id,
                               epoch_us(ts) - epoch_us(lag(ts) over w)
