@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_event_gaps": e.q_rel_event_gaps,
         "rel_cohort_retention": e.q_rel_cohort_retention,
         "rel_skyline": e.q_rel_skyline,
+        "geo_cell_diameter": e.q_geo_cell_diameter,
     }
 
 

@@ -585,6 +585,71 @@ def q_geo_bfs_hops(sf_dir: str, rounds: int = 8):
         batch_format="pyarrow")
 
 
+def q_geo_cell_diameter(sf_dir: str):
+    """Farthest street pair per square-grid cell (the per-cell diameter
+    — dispersion analytics for the tile layer): co-partition rank-26
+    streets on their cell, per cell one vectorized pairwise squared
+    distance in integer MICRODEGREES (floor(deg*1e6), the bbox_agg
+    fixed-point discipline — bit-exact in numpy and SQL, no float
+    argmax flips), winner = max d2 with (id_a, id_b) lexicographic
+    tie-break.  Cells are grid-pitch-bounded so the per-cell O(n²)
+    never sees the whole table; convex-hull rotating calipers is the
+    documented dense-cell upgrade."""
+    from .shuffle import grouped_map
+    from .cells import square_cell
+    d = ensure_synth(sf_dir)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pa.compute.equal(batch["place_rank"], 26))
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        lon = b["lon"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "square_cell": pa.array(square_cell(lat, lon)),
+            "place_id": b["place_id"].cast(pa.int64()),
+            "latu": pa.array(np.floor(lat * 1e6).astype(np.int64)),
+            "lonu": pa.array(np.floor(lon * 1e6).astype(np.int64))})
+
+    ds = ray.data.read_parquet(
+        os.path.join(d, "gazetteer.parquet"),
+        columns=["place_id", "lat", "lon", "place_rank"]).map_batches(
+        assign, batch_format="pyarrow")
+
+    out_schema = pa.schema([("square_cell", pa.int64()),
+                            ("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("d2", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        cells, ia_o, ib_o, d2_o = [], [], [], []
+        for cell, g in df.groupby("square_cell", sort=False):
+            n = len(g)
+            if n < 2:
+                continue
+            ids = g["place_id"].to_numpy(np.int64)
+            la = g["latu"].to_numpy(np.int64)
+            lo = g["lonu"].to_numpy(np.int64)
+            iu = np.triu_indices(n, 1)
+            dl = la[iu[0]] - la[iu[1]]
+            dn = lo[iu[0]] - lo[iu[1]]
+            d2 = dl * dl + dn * dn
+            best = d2.max()
+            cand = np.flatnonzero(d2 == best)
+            pa_ = np.minimum(ids[iu[0][cand]], ids[iu[1][cand]])
+            pb_ = np.maximum(ids[iu[0][cand]], ids[iu[1][cand]])
+            k = np.lexsort((pb_, pa_))[0]
+            cells.append(int(cell))
+            ia_o.append(int(pa_[k]))
+            ib_o.append(int(pb_[k]))
+            d2_o.append(int(best))
+        return pa.table({"square_cell": pa.array(cells, pa.int64()),
+                         "id_a": pa.array(ia_o, pa.int64()),
+                         "id_b": pa.array(ib_o, pa.int64()),
+                         "d2": pa.array(d2_o, pa.int64())})
+
+    return grouped_map(ds, "square_cell", per_partition, group_fn=False)
+
+
 def q_geo_nearest_join(sf_dir: str):
     """Nearest other street within 1 km per street (reverse-geocode
     primitive, tiles.nearest_join): grid-bucketed argmin, ties by
@@ -5291,6 +5356,23 @@ def build_oracle_sql() -> dict[str, str]:
                    + cast(floor((lon+180)/{SQUARE_CELL_DEG}) as bigint)
                    as square_cell
             from {gaz}""",
+        "geo_cell_diameter": f"""
+            with s as (select place_id,
+                   cast(floor((lat+90)/{SQUARE_CELL_DEG}) as bigint)*{w}
+                   + cast(floor((lon+180)/{SQUARE_CELL_DEG}) as bigint)
+                     as cell,
+                   cast(floor(lat*1000000) as bigint) latu,
+                   cast(floor(lon*1000000) as bigint) lonu
+                   from {gaz} where place_rank = 26),
+            p as (select a.cell, a.place_id ia, b.place_id ib,
+                         (a.latu-b.latu)*(a.latu-b.latu)
+                         + (a.lonu-b.lonu)*(a.lonu-b.lonu) d2
+                  from s a join s b
+                    on a.cell = b.cell and a.place_id < b.place_id)
+            select cell as square_cell, ia as id_a, ib as id_b,
+                   cast(d2 as bigint) as d2
+            from p qualify row_number() over (
+                partition by cell order by d2 desc, ia, ib) = 1""",
         "geo_tile_rollup": f"""
             select cast(floor((lat+90)/{SQUARE_CELL_DEG}) as bigint)*{w}
                    + cast(floor((lon+180)/{SQUARE_CELL_DEG}) as bigint)
