@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_cohort_retention": e.q_rel_cohort_retention,
         "rel_skyline": e.q_rel_skyline,
         "geo_cell_diameter": e.q_geo_cell_diameter,
+        "rel_quantile_sketch": e.q_rel_quantile_sketch,
     }
 
 

@@ -2825,6 +2825,57 @@ def q_rel_range_join(sf_dir: str, window_days: int = 30):
                        group_fn=False)
 
 
+def q_rel_quantile_sketch(sf_dir: str):
+    """Mergeable fixed-bin quantile histogram (the 4th sketch beside
+    HLL / CMS / Bloom): l_extendedprice in cents binned into 4096
+    STATIC bins over [0, 12,000,000) — static bounds make partials
+    from any partitioning merge to identical counts (the mergeability
+    contract a data-dependent range would break).  Per-batch bincount
+    partials, ONE bounded groupby-SUM (≤4096 rows), then the
+    ε-approximate quantile = lower bound of the first bin whose
+    cumulative count reaches ⌈q·n⌉, computed from the merged
+    histogram.  ε = bin width / range = 1/4096."""
+    from ray.data.aggregate import Sum
+    NBINS = 4096
+    LO, WIDTH = 0, 2930  # cents; static universe [0, 12,001,280)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                               columns=["l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.round(batch["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        b = np.clip((v - LO) // WIDTH, 0, NBINS - 1)
+        cnt = np.bincount(b, minlength=NBINS)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bin": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("n", alias_name="n")))
+
+    def quantiles(df: pd.DataFrame) -> pa.Table:
+        df = df.sort_values("bin", kind="mergesort")
+        c = df["n"].to_numpy(np.int64).cumsum()
+        total = int(c[-1]) if len(c) else 0
+        qs = [25, 50, 75, 90, 99]
+        outs = []
+        for q in qs:
+            rank = -(-q * total // 100)  # ceil(q*n/100), exact int
+            i = int(np.searchsorted(c, rank, side="left"))
+            outs.append(int(df["bin"].to_numpy(np.int64)[i])
+                        * WIDTH + LO)
+        return pa.table({"q_pct": pa.array(qs, pa.int64()),
+                         "approx_cents": pa.array(outs, pa.int64())})
+
+    from .shuffle import grouped_map
+    one = hist.map_batches(
+        lambda b: b.append_column("_one", pa.array(
+            np.zeros(len(b), np.int64))), batch_format="pyarrow")
+    return grouped_map(one, "_one",
+                       lambda df: quantiles(df.drop(columns=["_one"])),
+                       num_partitions=1, group_fn=False)
+
+
 def q_rel_cohort_retention(sf_dir: str):
     """Cohort retention matrix: customers grouped by first-order month
     (cohort), counted by months-elapsed at each subsequent order —
@@ -5906,6 +5957,21 @@ def build_oracle_sql() -> dict[str, str]:
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
             from orders""",
+        "rel_quantile_sketch": """
+            with v as (select cast(round(l_extendedprice*100) as bigint)
+                         as c from lineitem),
+            b as (select least(greatest(c // 2930, 0), 4095) as bin
+                  from v),
+            h as (select bin, count(*) n from b group by bin),
+            cum as (select bin, sum(n) over (order by bin) as cm,
+                           sum(n) over () as total
+                    from h),
+            q(q_pct) as (values (25), (50), (75), (90), (99))
+            select cast(q.q_pct as bigint) as q_pct,
+                   cast(min(cum.bin) * 2930 as bigint) as approx_cents
+            from q join cum
+              on cum.cm >= (q.q_pct * cum.total + 99) // 100
+            group by q.q_pct""",
         "rel_cohort_retention": """
             with o as (select o_custkey cust,
                               year(o_orderdate) * 12
