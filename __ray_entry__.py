@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_skyline": e.q_rel_skyline,
         "geo_cell_diameter": e.q_geo_cell_diameter,
         "rel_quantile_sketch": e.q_rel_quantile_sketch,
+        "rel_hash_join": e.q_rel_hash_join,
     }
 
 

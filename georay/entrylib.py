@@ -2590,6 +2590,63 @@ def q_rel_broadcast_join(sf_dir: str):
                        Sum("sum_rev_c", alias_name="sum_rev_c")))
 
 
+def q_rel_hash_join(sf_dir: str):
+    """Generic large×large shuffle hash join (row-level inner join,
+    neither side broadcastable): tag + union the two streams so the
+    join costs exactly ONE co-partitioned shuffle on the key, then a
+    vectorized pandas merge per partition.  This is the equi-join plan
+    when both sides are big; the broadcast plan (rel_broadcast_join)
+    and the salted rollup (tiles.rollup_counts_salted) cover the
+    small-side and hot-key regimes."""
+    from .shuffle import grouped_map
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table({
+            "key": b["o_orderkey"].cast(pa.int64()),
+            "a": b["o_custkey"].cast(pa.int64()),
+            "_side": pa.array(np.zeros(len(b), np.int8))}),
+        batch_format="pyarrow")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"]) \
+        .map_batches(
+        lambda b: pa.table({
+            "key": b["l_orderkey"].cast(pa.int64()),
+            "a": (pa.compute.add(
+                pa.compute.multiply(
+                    b["l_linenumber"].cast(pa.int64()),
+                    pa.scalar(10 ** 10, pa.int64())),
+                pa.compute.round(pa.compute.multiply(
+                    b["l_extendedprice"], pa.scalar(100.0)))
+                .cast(pa.int64()))),
+            "_side": pa.array(np.ones(len(b), np.int8))}),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64()),
+                            ("l_linenumber", pa.int64()),
+                            ("price_cents", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        left = df.loc[df["_side"] == 0, ["key", "a"]] \
+            .rename(columns={"a": "cust"})
+        right = df.loc[df["_side"] == 1, ["key", "a"]]
+        if left.empty or right.empty:
+            return out_schema.empty_table()
+        m = left.merge(right, on="key", how="inner")
+        packed = m["a"].to_numpy(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(m["key"].to_numpy(np.int64)),
+            "o_custkey": pa.array(m["cust"].to_numpy(np.int64)),
+            "l_linenumber": pa.array(packed // 10 ** 10),
+            "price_cents": pa.array(packed % 10 ** 10)})
+
+    return grouped_map(od.union(li), "key", per_partition,
+                       group_fn=False)
+
+
 def q_rel_first_event(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "event_id", "ts"])
@@ -5957,6 +6014,13 @@ def build_oracle_sql() -> dict[str, str]:
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
             from orders""",
+        "rel_hash_join": """
+            select o.o_orderkey, o.o_custkey,
+                   cast(l.l_linenumber as bigint) as l_linenumber,
+                   cast(round(l.l_extendedprice*100) as bigint)
+                     as price_cents
+            from orders o join lineitem l
+              on l.l_orderkey = o.o_orderkey""",
         "rel_quantile_sketch": """
             with v as (select cast(round(l_extendedprice*100) as bigint)
                          as c from lineitem),
