@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_cell_diameter": e.q_geo_cell_diameter,
         "rel_quantile_sketch": e.q_rel_quantile_sketch,
         "rel_hash_join": e.q_rel_hash_join,
+        "rel_left_join": e.q_rel_left_join,
+        "rel_moving_sum": e.q_rel_moving_sum,
     }
 
 

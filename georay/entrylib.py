@@ -2647,6 +2647,95 @@ def q_rel_hash_join(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_left_join(sf_dir: str):
+    """Left outer join at row level (every customer, their order count
+    and revenue, zero-filled when no orders exist — the null-extension
+    contract): same single tagged-union shuffle as rel_hash_join, but
+    the per-partition merge is outer on the left side and emits 0
+    sentinels instead of nulls so the distributed hash compare stays
+    type-stable."""
+    from .shuffle import grouped_map
+
+    cu = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({
+            "key": b["c_custkey"].cast(pa.int64()),
+            "a": b["c_nationkey"].cast(pa.int64()),
+            "_side": pa.array(np.zeros(len(b), np.int8))}),
+        batch_format="pyarrow")
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "key": b["o_custkey"].cast(pa.int64()),
+            "a": pa.compute.round(pa.compute.multiply(
+                b["o_totalprice"], pa.scalar(100.0))).cast(pa.int64()),
+            "_side": pa.array(np.ones(len(b), np.int8))}),
+        batch_format="pyarrow")
+
+    out_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_nationkey", pa.int64()),
+                            ("n_orders", pa.int64()),
+                            ("rev_cents", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        left = df.loc[df["_side"] == 0, ["key", "a"]]
+        if left.empty:
+            return out_schema.empty_table()
+        right = df.loc[df["_side"] == 1]
+        agg = (right.groupby("key", sort=False)["a"]
+               .agg(["size", "sum"]))
+        n = left["key"].map(agg["size"]).fillna(0)
+        s = left["key"].map(agg["sum"]).fillna(0)
+        return pa.table({
+            "c_custkey": pa.array(left["key"].to_numpy(np.int64)),
+            "c_nationkey": pa.array(left["a"].to_numpy(np.int64)),
+            "n_orders": pa.array(n.to_numpy(np.float64)
+                                 .astype(np.int64)),
+            "rev_cents": pa.array(s.to_numpy(np.float64)
+                                  .astype(np.int64))})
+
+    return grouped_map(cu.union(od), "key", per_partition,
+                       group_fn=False)
+
+
+def q_rel_moving_sum(sf_dir: str):
+    """ROWS-frame window aggregate (the frame class the 7-day RANGE
+    window doesn't cover): per customer, the rolling sum of the last 3
+    orders' cents under a total (date, key) order.  ONE co-partitioned
+    shuffle on the customer, then a vectorized cumsum-difference per
+    group — no per-row loop, exact integers."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderdate",
+                 "o_totalprice"])
+
+    out_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("moving_cents", pa.int64())])
+
+    def per_partition(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort")
+        cents = np.round(df["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        cs = np.concatenate(([0], cents.cumsum()))
+        pos = np.arange(len(cents))
+        grp_start = (df.groupby("o_custkey", sort=False).cumcount()
+                     .to_numpy())
+        lo = np.maximum(pos - 2, pos - grp_start)
+        win = cs[pos + 1] - cs[lo]
+        return pa.table({
+            "o_orderkey": pa.array(df["o_orderkey"]
+                                   .to_numpy(np.int64)),
+            "moving_cents": pa.array(win)})
+
+    return grouped_map(ds, "o_custkey", per_partition, group_fn=False)
+
+
 def q_rel_first_event(sf_dir: str):
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["user_id", "event_id", "ts"])
@@ -6013,6 +6102,23 @@ def build_oracle_sql() -> dict[str, str]:
                    cast(ntile(4) over (partition by o_orderpriority
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
+            from orders""",
+        "rel_left_join": """
+            select c.c_custkey, c.c_nationkey,
+                   cast(count(o.o_custkey) as bigint) as n_orders,
+                   cast(coalesce(sum(cast(round(o.o_totalprice*100)
+                                          as bigint)), 0) as bigint)
+                     as rev_cents
+            from customer c left join orders o
+              on o.o_custkey = c.c_custkey
+            group by 1, 2""",
+        "rel_moving_sum": """
+            select o_orderkey,
+                   cast(sum(cast(round(o_totalprice*100) as bigint))
+                        over (partition by o_custkey
+                              order by o_orderdate, o_orderkey
+                              rows between 2 preceding and current row)
+                        as bigint) as moving_cents
             from orders""",
         "rel_hash_join": """
             select o.o_orderkey, o.o_custkey,
