@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_hash_join": e.q_rel_hash_join,
         "rel_left_join": e.q_rel_left_join,
         "rel_moving_sum": e.q_rel_moving_sum,
+        "rel_union_sources": e.q_rel_union_sources,
     }
 
 

@@ -2647,6 +2647,51 @@ def q_rel_hash_join(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_union_sources(sf_dir: str):
+    """Dataset-level set algebra in one pass: the distinct union of
+    ordering customers and event users, each id flagged with its
+    membership (in_orders, in_events) — union / intersect / except
+    are all row filters of this output.  Map-side per-batch dedup,
+    then ONE co-partitioned shuffle merging bit flags with a grouped
+    max — the same two-phase plan ``distinct_on`` uses, never a
+    per-group shuffle."""
+    from .shuffle import grouped_map
+
+    def tag(col: str, bit: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = np.unique(b[col].to_numpy(zero_copy_only=False)
+                            .astype(np.int64))
+            return pa.table({
+                "id": pa.array(ids),
+                "flags": pa.array(np.full(len(ids), bit, np.int64))})
+        return fn
+
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey"]).map_batches(
+        tag("o_custkey", 1), batch_format="pyarrow")
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id"]).map_batches(
+        tag("user_id", 2), batch_format="pyarrow")
+
+    def merge(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "in_orders": pa.array([], pa.int64()),
+                             "in_events": pa.array([], pa.int64())})
+        f = df["flags"].to_numpy(np.int64)
+        d = pd.DataFrame({"id": df["id"].to_numpy(np.int64),
+                          "b0": f & 1, "b1": (f >> 1) & 1})
+        g = d.groupby("id", sort=False)[["b0", "b1"]].max()
+        return pa.table({
+            "id": pa.array(g.index.to_numpy(np.int64)),
+            "in_orders": pa.array(g["b0"].to_numpy(np.int64)),
+            "in_events": pa.array(g["b1"].to_numpy(np.int64))})
+
+    return grouped_map(od.union(ev), "id", merge, group_fn=False)
+
+
 def q_rel_left_join(sf_dir: str):
     """Left outer join at row level (every customer, their order count
     and revenue, zero-filled when no orders exist — the null-extension
@@ -6103,6 +6148,15 @@ def build_oracle_sql() -> dict[str, str]:
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
             from orders""",
+        "rel_union_sources": """
+            with o as (select distinct o_custkey as id from orders),
+            e as (select distinct user_id as id from events)
+            select coalesce(o.id, e.id) as id,
+                   cast(case when o.id is null then 0 else 1 end
+                        as bigint) as in_orders,
+                   cast(case when e.id is null then 0 else 1 end
+                        as bigint) as in_events
+            from o full outer join e on e.id = o.id""",
         "rel_left_join": """
             select c.c_custkey, c.c_nationkey,
                    cast(count(o.o_custkey) as bigint) as n_orders,
