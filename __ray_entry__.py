@@ -186,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_left_join": e.q_rel_left_join,
         "rel_moving_sum": e.q_rel_moving_sum,
         "rel_union_sources": e.q_rel_union_sources,
+        "rel_pivot": e.q_rel_pivot,
+        "rel_above_group_avg": e.q_rel_above_group_avg,
     }
 
 

@@ -2647,6 +2647,130 @@ def q_rel_hash_join(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_pivot(sf_dir: str):
+    """Crosstab / pivot: order counts by priority (rows) × status
+    (columns), statuses pivoted into fixed columns.  Per-batch partial
+    (priority, status) counts, ONE bounded groupby-SUM over ≤
+    |priorities|×|statuses| rows, then a map-side pivot of the tiny
+    merged table — the wide result never exists pre-aggregation."""
+    from .shuffle import grouped_map
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderpriority",
+                                        "o_orderstatus"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (df.groupby(["o_orderpriority", "o_orderstatus"],
+                        sort=False).size().reset_index(name="n"))
+        return pa.table({
+            "prio": pa.array(g["o_orderpriority"], pa.string()),
+            "status": pa.array(g["o_orderstatus"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["prio", "status"])
+              .aggregate(Sum("n", alias_name="n")))
+
+    out_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_open", pa.int64()),
+                            ("n_filled", pa.int64()),
+                            ("n_pending", pa.int64())])
+
+    def pivot(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        w = (df.pivot_table(index="prio", columns="status", values="n",
+                            aggfunc="sum", fill_value=0)
+             .reindex(columns=["O", "F", "P"], fill_value=0)
+             .reset_index())
+        return pa.table({
+            "o_orderpriority": pa.array(w["prio"], pa.string()),
+            "n_open": pa.array(w["O"].to_numpy(np.int64)),
+            "n_filled": pa.array(w["F"].to_numpy(np.int64)),
+            "n_pending": pa.array(w["P"].to_numpy(np.int64))})
+
+    one = merged.map_batches(
+        lambda b: b.append_column("_one", pa.array(
+            np.zeros(len(b), np.int64))), batch_format="pyarrow")
+    return grouped_map(one, "_one",
+                       lambda df: pivot(df.drop(columns=["_one"])),
+                       num_partitions=1, group_fn=False)
+
+
+def q_rel_above_group_avg(sf_dir: str):
+    """Correlated-subquery analytic (customers whose total spend
+    strictly exceeds their NATION's average customer spend) with the
+    float-free trick: compare spend_c × n_nation > total_nation_c by
+    integer cross-multiplication, so the distributed result is exact
+    where an AVG division would wobble.  Plan: one customer-spend
+    co-partitioned aggregate, one bounded nation rollup broadcast
+    back — the big side is never reshuffled twice."""
+    import ray as _ray
+    from .shuffle import grouped_map
+
+    cu = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({
+            "key": b["c_custkey"].cast(pa.int64()),
+            "a": b["c_nationkey"].cast(pa.int64()),
+            "_side": pa.array(np.zeros(len(b), np.int8))}),
+        batch_format="pyarrow")
+    od = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"]).map_batches(
+        lambda b: pa.table({
+            "key": b["o_custkey"].cast(pa.int64()),
+            "a": pa.compute.round(pa.compute.multiply(
+                b["o_totalprice"], pa.scalar(100.0))).cast(pa.int64()),
+            "_side": pa.array(np.ones(len(b), np.int8))}),
+        batch_format="pyarrow")
+
+    def spend(df: pd.DataFrame) -> pa.Table:
+        left = df.loc[df["_side"] == 0, ["key", "a"]]
+        if left.empty:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "nation": pa.array([], pa.int64()),
+                             "spend_c": pa.array([], pa.int64())})
+        s = (df.loc[df["_side"] == 1].groupby("key", sort=False)["a"]
+             .sum())
+        v = left["key"].map(s).fillna(0)
+        return pa.table({
+            "c_custkey": pa.array(left["key"].to_numpy(np.int64)),
+            "nation": pa.array(left["a"].to_numpy(np.int64)),
+            "spend_c": pa.array(v.to_numpy(np.float64)
+                                .astype(np.int64))})
+
+    per_cust = grouped_map(cu.union(od), "key", spend,
+                           group_fn=False).materialize()
+
+    # nation totals are ≤ |nations| rows — aggregate then broadcast
+    nat = per_cust.groupby("nation").aggregate(
+        ray.data.aggregate.Sum("spend_c", alias_name="tot"),
+        ray.data.aggregate.Count(alias_name="n"))
+    nat_tbl = nat.to_pandas()
+    ref = _ray.put({int(r.nation): (int(r.tot), int(r.n))
+                    for r in nat_tbl.itertuples()})
+
+    def flt(batch: pa.Table) -> pa.Table:
+        lk = _ray.get(ref)
+        nation = pd.Series(batch["nation"].to_numpy(
+            zero_copy_only=False))
+        spend_c = batch["spend_c"].to_numpy(zero_copy_only=False)
+        tot = nation.map({k: v[0] for k, v in lk.items()}) \
+            .to_numpy(np.int64)
+        n = nation.map({k: v[1] for k, v in lk.items()}) \
+            .to_numpy(np.int64)
+        keep = spend_c * n > tot
+        return pa.table({
+            "c_custkey": batch["c_custkey"].filter(pa.array(keep)),
+            "nation": batch["nation"].filter(pa.array(keep)),
+            "spend_cents": pa.array(spend_c[keep])})
+
+    return per_cust.map_batches(flt, batch_format="pyarrow")
+
+
 def q_rel_union_sources(sf_dir: str):
     """Dataset-level set algebra in one pass: the distinct union of
     ordering customers and event users, each id flagged with its
@@ -6148,6 +6272,28 @@ def build_oracle_sql() -> dict[str, str]:
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
             from orders""",
+        "rel_pivot": """
+            select o_orderpriority,
+                   cast(sum(case when o_orderstatus = 'O' then 1
+                            else 0 end) as bigint) as n_open,
+                   cast(sum(case when o_orderstatus = 'F' then 1
+                            else 0 end) as bigint) as n_filled,
+                   cast(sum(case when o_orderstatus = 'P' then 1
+                            else 0 end) as bigint) as n_pending
+            from orders group by 1""",
+        "rel_above_group_avg": """
+            with s as (select c.c_custkey, c.c_nationkey as nation,
+                              cast(coalesce(sum(cast(
+                                  round(o.o_totalprice*100) as bigint)),
+                                  0) as bigint) as spend_c
+                       from customer c left join orders o
+                         on o.o_custkey = c.c_custkey
+                       group by 1, 2),
+            t as (select nation, sum(spend_c) tot, count(*) n
+                  from s group by 1)
+            select s.c_custkey, s.nation, s.spend_c as spend_cents
+            from s join t on t.nation = s.nation
+            where s.spend_c * t.n > t.tot""",
         "rel_union_sources": """
             with o as (select distinct o_custkey as id from orders),
             e as (select distinct user_id as id from events)
