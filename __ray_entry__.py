@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_union_sources": e.q_rel_union_sources,
         "rel_pivot": e.q_rel_pivot,
         "rel_above_group_avg": e.q_rel_above_group_avg,
+        "rel_pair_support": e.q_rel_pair_support,
     }
 
 

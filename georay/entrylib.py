@@ -2647,6 +2647,56 @@ def q_rel_hash_join(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_pair_support(sf_dir: str):
+    """Frequent-itemset support counting (A-priori's inner loop): for
+    every unordered pair of event types, how many users have BOTH.
+    ONE co-partitioned shuffle on the user; each group emits its
+    distinct-type pairs (≤ C(|types|,2), bounded by the small type
+    vocabulary, never by the user's event count), then a bounded
+    groupby-SUM over pair keys.  The baskets-to-pairs explosion stays
+    map-side — raw events are never reshuffled."""
+    from .shuffle import grouped_map
+    from ray.data.aggregate import Sum
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type"])
+
+    out_schema = pa.schema([("type_a", pa.string()),
+                            ("type_b", pa.string()),
+                            ("n", pa.int64())])
+
+    def pairs(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        u = df.drop_duplicates(["user_id", "event_type"]) \
+            .sort_values(["user_id", "event_type"], kind="mergesort")
+        outs_a, outs_b = [], []
+        for _, g in u.groupby("user_id", sort=False):
+            t = g["event_type"].to_numpy()
+            if len(t) < 2:
+                continue
+            iu = np.triu_indices(len(t), 1)
+            outs_a.append(t[iu[0]])
+            outs_b.append(t[iu[1]])
+        if not outs_a:
+            return out_schema.empty_table()
+        a = np.concatenate(outs_a)
+        b = np.concatenate(outs_b)
+        d = (pd.DataFrame({"type_a": a, "type_b": b})
+             .groupby(["type_a", "type_b"], sort=False)
+             .size().reset_index(name="n"))
+        return pa.table({"type_a": pa.array(d["type_a"], pa.string()),
+                         "type_b": pa.array(d["type_b"], pa.string()),
+                         "n": pa.array(d["n"].to_numpy(np.int64))})
+
+    partial = grouped_map(ds, "user_id", pairs, group_fn=False)
+    return (partial.groupby(["type_a", "type_b"])
+            .aggregate(Sum("n", alias_name="n_users"))
+            .map_batches(lambda b: pa.table({
+                "type_a": b["type_a"], "type_b": b["type_b"],
+                "n_users": b["n_users"].cast(pa.int64())}),
+                batch_format="pyarrow"))
+
+
 def q_rel_pivot(sf_dir: str):
     """Crosstab / pivot: order counts by priority (rows) × status
     (columns), statuses pivoted into fixed columns.  Per-batch partial
@@ -6272,6 +6322,15 @@ def build_oracle_sql() -> dict[str, str]:
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
             from orders""",
+        "rel_pair_support": """
+            with u as (select distinct user_id, event_type
+                       from events)
+            select a.event_type as type_a, b.event_type as type_b,
+                   cast(count(*) as bigint) as n_users
+            from u a join u b
+              on a.user_id = b.user_id
+             and a.event_type < b.event_type
+            group by 1, 2""",
         "rel_pivot": """
             select o_orderpriority,
                    cast(sum(case when o_orderstatus = 'O' then 1

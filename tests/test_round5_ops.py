@@ -31,6 +31,7 @@ ROUND5_QUERIES = [
     "rel_union_sources",
     "rel_pivot",
     "rel_above_group_avg",
+    "rel_pair_support",
 ]
 
 
