@@ -189,6 +189,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_pivot": e.q_rel_pivot,
         "rel_above_group_avg": e.q_rel_above_group_avg,
         "rel_pair_support": e.q_rel_pair_support,
+        "rel_dense_daily": e.q_rel_dense_daily,
+        "rel_region_rollup": e.q_rel_region_rollup,
     }
 
 

@@ -2647,6 +2647,102 @@ def q_rel_hash_join(sf_dir: str):
                        group_fn=False)
 
 
+def q_rel_dense_daily(sf_dir: str, span_days: int = 40):
+    """Calendar densification / gap fill: daily event counts per type
+    with ZERO rows for missing days over the global [min_day,
+    min_day+span) window — the generate_series operator Ray Data has
+    no native analogue for.  The span anchor is a two-int driver
+    aggregate (min day only — bounded, never the data); each type
+    group then emits its dense span with zeros filled map-side after
+    ONE type shuffle.  A fixed span keeps output size
+    partitioning-independent."""
+    from .shuffle import grouped_map
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_type", "ts"])
+
+    days = ds.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "day": pa.array(b["ts"].cast(pa.int64())
+                            .to_numpy(zero_copy_only=False)
+                            // 86_400_000_000)}),
+        batch_format="pyarrow")
+    # global anchor: a single int via a bounded min aggregate
+    d0 = int(days.min("day"))
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("day", pa.int64()), ("n", pa.int64())])
+
+    def densify(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0:
+            return out_schema.empty_table()
+        types, day_o, n_o = [], [], []
+        full = np.arange(d0, d0 + span_days, dtype=np.int64)
+        for t, g in df.groupby("event_type", sort=False):
+            cnt = g.groupby("day").size()
+            dense = cnt.reindex(full, fill_value=0)
+            types.extend([t] * span_days)
+            day_o.append(full)
+            n_o.append(dense.to_numpy(np.int64))
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "day": pa.array(np.concatenate(day_o)),
+                         "n": pa.array(np.concatenate(n_o))})
+
+    return grouped_map(days, "event_type", densify, group_fn=False)
+
+
+def q_rel_region_rollup(sf_dir: str):
+    """Three-hop dimension chain (customer→nation→region) rolled up to
+    revenue per region name: both dimensions are broadcast ONCE
+    (``ray.put`` of a composed custkey→region map built from the two
+    tiny tables), the orders fact streams through map-side partial
+    aggregation, and the final groupby moves ≤|regions| rows per
+    block.  The star-schema plan at 100 TB: facts never shuffle."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    nat = ray.data.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = ray.data.read_parquet(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"]).to_pandas()
+    cus = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"]).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    r2n = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    c2r = {int(c): r2n[n2r[int(n)]]
+           for c, n in zip(cus["c_custkey"], cus["c_nationkey"])}
+    ref = _ray.put(c2r)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lk = _ray.get(ref)
+        df = batch.to_pandas()
+        rname = df["o_custkey"].map(lk)
+        cents = np.round(df["o_totalprice"].to_numpy() * 100) \
+            .astype(np.int64)
+        g = (pd.DataFrame({"r_name": rname, "c": cents})
+             .groupby("r_name", sort=False)["c"]
+             .agg(["size", "sum"]).reset_index())
+        return pa.table({
+            "r_name": pa.array(g["r_name"], pa.string()),
+            "n": pa.array(g["size"].to_numpy(np.int64)),
+            "rev": pa.array(g["sum"].to_numpy(np.int64))})
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_custkey", "o_totalprice"])
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("r_name")
+            .aggregate(Sum("n", alias_name="n_orders"),
+                       Sum("rev", alias_name="rev_cents"))
+            .map_batches(lambda b: pa.table({
+                "r_name": b["r_name"],
+                "n_orders": b["n_orders"].cast(pa.int64()),
+                "rev_cents": b["rev_cents"].cast(pa.int64())}),
+                batch_format="pyarrow"))
+
+
 def q_rel_pair_support(sf_dir: str):
     """Frequent-itemset support counting (A-priori's inner loop): for
     every unordered pair of event types, how many users have BOTH.
@@ -6322,6 +6418,31 @@ def build_oracle_sql() -> dict[str, str]:
                         order by o_totalprice, o_orderkey) as bigint)
                      as quartile
             from orders""",
+        "rel_dense_daily": """
+            with d as (select event_type,
+                              epoch_us(ts) // 86400000000 as day
+                       from events),
+            a as (select min(day) as d0 from d),
+            t as (select distinct event_type from d),
+            s as (select a.d0 + x.i as day
+                  from a cross join generate_series(0, 39) as x(i)),
+            c as (select event_type, day, count(*) n
+                  from d group by 1, 2)
+            select t.event_type, cast(s.day as bigint) as day,
+                   cast(coalesce(c.n, 0) as bigint) as n
+            from t cross join s
+            left join c on c.event_type = t.event_type
+                       and c.day = s.day""",
+        "rel_region_rollup": """
+            select r.r_name,
+                   cast(count(*) as bigint) as n_orders,
+                   cast(sum(cast(round(o.o_totalprice*100) as bigint))
+                        as bigint) as rev_cents
+            from orders o
+            join customer c on c.c_custkey = o.o_custkey
+            join nation n on n.n_nationkey = c.c_nationkey
+            join region r on r.r_regionkey = n.n_regionkey
+            group by 1""",
         "rel_pair_support": """
             with u as (select distinct user_id, event_type
                        from events)

@@ -32,6 +32,8 @@ ROUND5_QUERIES = [
     "rel_pivot",
     "rel_above_group_avg",
     "rel_pair_support",
+    "rel_dense_daily",
+    "rel_region_rollup",
 ]
 
 
