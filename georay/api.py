@@ -16,6 +16,7 @@ import re
 from typing import Any
 
 import pandas as pd
+import pyarrow as pa
 
 from .cascade import process_addresses_df
 from .config import (ADDR_KEY, CITY, COUNTRY, HOUSENBR, INPUT_FIELDS,
@@ -319,6 +320,56 @@ def batch_geocode(payload: list[dict], mode: str = "short",
     cfg = _long_mode_cfg(cfg, mode)
     res = process_addresses_df(pd.DataFrame(rows), gaz, parser, cfg)
     return _format_results(res, mode, with_rejected)
+
+
+def batch_geocode_csv(csv_source, mode: str = "short",
+                      with_rejected: bool = False,
+                      check_result: bool = True,
+                      extra_house_number: bool = True,
+                      spec: GazetteerSpec | None = None,
+                      cfg: PipelineConfig | None = None) -> dict:
+    """CSV batch source — the reference's /batchGeocode file-upload
+    path (nominatimwrapper.py:709-769 parses the request body as CSV
+    before the same pipeline): Arrow-native ``pyarrow.csv`` parse with
+    every column read as string (the reference's dtype=str contract),
+    then the identical mandatory-field / duplicate-key validation via
+    ``batch_geocode``.  ``csv_source`` is a filesystem path or raw
+    ``bytes``.  For beyond-memory CSVs use ``csv_dataset`` +
+    ``pipeline.geocode_addresses`` (streaming)."""
+    import io
+
+    from pyarrow import csv as pacsv
+
+    src = io.BytesIO(csv_source) if isinstance(csv_source, bytes) \
+        else csv_source
+    tbl = pacsv.read_csv(
+        src, convert_options=pacsv.ConvertOptions(
+            column_types={}, strings_can_be_null=False),
+        read_options=pacsv.ReadOptions(use_threads=False))
+    cols = {c: tbl[c].cast(pa.string()).to_pylist()
+            for c in tbl.column_names}
+    payload = [{c: (cols[c][i] if cols[c][i] is not None else "")
+                for c in cols} for i in range(tbl.num_rows)]
+    return batch_geocode(payload, mode=mode, with_rejected=with_rejected,
+                         check_result=check_result,
+                         extra_house_number=extra_house_number,
+                         spec=spec, cfg=cfg)
+
+
+def csv_dataset(path: str) -> "ray.data.Dataset":
+    """Streaming CSV source for the Dataset pipeline: every column as
+    string (the CSV contract), blocks stream with backpressure — feed
+    the result to ``pipeline.geocode_addresses`` for beyond-memory
+    files."""
+    import ray.data
+    from pyarrow import csv as pacsv
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({c: batch[c].cast(pa.string())
+                         for c in batch.column_names})
+
+    return ray.data.read_csv(path).map_batches(
+        to_str, batch_format="pyarrow")
 
 
 def health_check(spec: GazetteerSpec | None = None) -> dict:

@@ -155,3 +155,63 @@ def test_long_mode_candidate_json(street):
     # short mode carries no candidate tail
     short = geocode_one(_payload(street), mode="short")
     assert "candidateJson" not in short["match"][0].get("metadata", {})
+
+
+def test_batch_geocode_csv_parity(street, tmp_path):
+    # CSV source == dict source row for row (the reference's
+    # /batchGeocode file-upload path, nominatimwrapper.py:709-769)
+    import csv as _csv
+
+    from georay.api import batch_geocode_csv
+
+    p1 = _payload(street, "1")
+    path = tmp_path / "batch.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(p1))
+        w.writeheader()
+        w.writerow(p1)
+    res_csv = batch_geocode_csv(str(path), with_rejected=True)
+    res_dict = batch_geocode([p1], with_rejected=True)
+    assert res_csv == res_dict
+    # bytes input behaves like a path
+    res_bytes = batch_geocode_csv(open(path, "rb").read(),
+                                  with_rejected=True)
+    assert res_bytes == res_dict
+
+
+def test_batch_geocode_csv_dup_key(street, tmp_path):
+    import csv as _csv
+
+    from georay.api import batch_geocode_csv
+
+    p1 = _payload(street, "1")
+    path = tmp_path / "dup.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(p1))
+        w.writeheader()
+        w.writerow(p1)
+        w.writerow(p1)
+    with pytest.raises(ValueError, match="duplicate"):
+        batch_geocode_csv(str(path))
+
+
+def test_csv_dataset_streaming_source(street, tmp_path, ray_session):
+    # streaming CSV -> Dataset -> full pipeline parity on keys
+    import csv as _csv
+
+    from georay.api import csv_dataset
+    from georay.config import PipelineConfig
+    from georay.pipeline import geocode_addresses
+
+    p1 = _payload(street, "1")
+    path = tmp_path / "stream.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=list(p1))
+        w.writeheader()
+        w.writerow(p1)
+    ds = csv_dataset(str(path))
+    assert ds.schema().types[0] == __import__("pyarrow").string()
+    out = geocode_addresses(ds, SPEC, PipelineConfig()).to_pandas()
+    # cascade output carries one row per surviving candidate; every
+    # row must trace back to the single CSV input key
+    assert set(out["addr_key"]) == {"1"} and len(out) >= 1
