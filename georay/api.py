@@ -372,6 +372,20 @@ def csv_dataset(path: str) -> "ray.data.Dataset":
         to_str, batch_format="pyarrow")
 
 
+def json_dataset(path: str) -> "ray.data.Dataset":
+    """Streaming JSON-lines source (the dict-payload contract of
+    /batchGeocode as a file format): every field coerced to string,
+    blocks stream with backpressure — symmetric with ``csv_dataset``."""
+    import ray.data
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({c: batch[c].cast(pa.string())
+                         for c in batch.column_names})
+
+    return ray.data.read_json(path).map_batches(
+        to_str, batch_format="pyarrow")
+
+
 def health_check(spec: GazetteerSpec | None = None) -> dict:
     """UP/DEGRADED/DOWN probes with a known city
     (nominatimwrapper.py:859-921; config.py:125-126 uses Bruxelles)."""

@@ -215,3 +215,19 @@ def test_csv_dataset_streaming_source(street, tmp_path, ray_session):
     # cascade output carries one row per surviving candidate; every
     # row must trace back to the single CSV input key
     assert set(out["addr_key"]) == {"1"} and len(out) >= 1
+
+
+def test_json_dataset_streaming_source(street, tmp_path, ray_session):
+    import json as _json
+
+    from georay.api import json_dataset
+    from georay.config import PipelineConfig
+    from georay.pipeline import geocode_addresses
+
+    p1 = _payload(street, "1")
+    path = tmp_path / "stream.json"
+    with open(path, "w") as f:
+        f.write(_json.dumps(p1) + "\n")
+    ds = json_dataset(str(path))
+    out = geocode_addresses(ds, SPEC, PipelineConfig()).to_pandas()
+    assert set(out["addr_key"]) == {"1"} and len(out) >= 1
